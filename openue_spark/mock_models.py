@@ -1,0 +1,92 @@
+"""Deterministic mock model forwards (stand-ins for the BERT forwards).
+
+The reference's two model forwards are:
+- U1 `BertForRelationClassification.forward`: sentence -> sigmoid prob per
+  relation (reference models/model.py:10-57)
+- U2 `BertForNER.forward` + argmax decode: spliced sequence -> one of 8 BIO
+  tags per token (reference models/model.py:64-128, argmax :319-321)
+
+Real BERT weights cannot be downloaded in this sandbox, and the parity target
+(BASELINE.md) is *dataflow fidelity*: the single-process reference oracle and
+the Spark pipeline share these exact deterministic scorers, so any P/R < 1.0
+indicates a pipeline-semantics bug, not a model difference.
+
+Both scorers are pure functions of (token ids, relation id) via splitmix64
+hashing — no state, no randomness, identical on driver/executors.
+
+Distribution tuning (so the pipeline exercises every path):
+- SEQ: P(prob > 0.5) = 4% per relation -> with 24 relations ~1 relation
+  selected per sentence on average and ~37% of sentences selecting none,
+  which exercises the argmax fallback (model.py:230-233) heavily.
+- NER: tag distribution O:72%, B-SUB:7%, I-SUB:5%, B-OBJ:7%, I-OBJ:5%,
+  Relation:2%, CLS:1%, SEP:1% -> a few subject/object spans per
+  (sentence, relation), exercising the close-on-O-only decode, spans open at
+  slice end, and I-without-B quirks (model.py:395-421).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .config import NUM_RELATIONS
+from .hashing import mix64, poly_hash
+
+_U64 = np.uint64
+_K_REL = _U64(0x9E3779B97F4A7C15)
+_K_TOK = _U64(0xC2B2AE3D27D4EB4F)
+_K_POS = _U64(0x165667B19E3779F9)
+_K_CTX = _U64(0x27D4EB2F165667C5)
+
+# SEQ selection: prob > 0.5  <=>  z > _SEQ_CUT, z uniform in [0,1).
+_SEQ_CUT = 0.96
+_SEQ_SCALE = 8.0
+
+# NER tag thresholds over u ~ Uniform{0..999}:
+# tag ids follow config.NER_LABELS order: O,B-SUB,I-SUB,B-OBJ,I-OBJ,Relation,CLS,SEP
+_NER_CUTS = np.array([720, 790, 840, 910, 960, 980, 990, 1000], dtype=np.int64)
+
+
+def seq_probs(input_ids: np.ndarray, num_relations: int = NUM_RELATIONS) -> np.ndarray:
+    """Mock U1: sentence token ids -> per-relation sigmoid probability.
+
+    Deterministic: z_k = uniform hash of (poly_hash(ids), k); prob passes the
+    0.5 threshold iff z_k > 0.96.
+    """
+    h = poly_hash(input_ids)
+    ks = np.arange(num_relations, dtype=np.uint64)
+    z = (mix64(h ^ (ks * _K_REL + _U64(0x51))) >> _U64(40)).astype(np.float64)
+    z /= float(1 << 24)
+    logits = (z - _SEQ_CUT) * _SEQ_SCALE
+    return 1.0 / (1.0 + np.exp(-logits))
+
+
+def ner_tags(spliced_ids: np.ndarray, rel_id: int) -> np.ndarray:
+    """Mock U2 + argmax (model.py:319-321): spliced ids -> tag id per token.
+
+    Depends on the *whole spliced sequence* (poly_hash) so that any error in
+    the marker splice (U4) changes every tag and breaks parity — this gives
+    the splice real test power. Per-position tag is a hash of
+    (token_id, position, rel_id, sequence hash) bucketed by _NER_CUTS.
+    """
+    ids = np.asarray(spliced_ids, dtype=np.uint64)
+    h = poly_hash(ids)
+    pos = np.arange(ids.size, dtype=np.uint64)
+    u = mix64(ids * _K_TOK ^ (pos * _K_POS) ^ (_U64(rel_id) * _K_REL) ^ (h * _K_CTX))
+    u = (u >> _U64(40)).astype(np.int64) % 1000
+    return np.searchsorted(_NER_CUTS, u, side="right").astype(np.int64)
+
+
+def mention_embedding(text: str, dim: int = 32) -> np.ndarray:
+    """Mock pooled [CLS] embedding for a mention string (U1 cls_output,
+    model.py:48): an L2-normalized character-trigram hashing vector, so that
+    near-duplicate surface forms genuinely have high cosine similarity —
+    used by the entity-linking rerank stage (SURVEY.md §2.10).
+    """
+    s = " " + text.lower() + " "
+    vec = np.zeros(dim, dtype=np.float64)
+    for i in range(len(s) - 2):
+        g = s[i : i + 3]
+        hv = int(mix64(np.uint64(sum((j + 1) * ord(c) for j, c in enumerate(g)))))
+        vec[hv % dim] += 1.0 if (hv >> 8) % 2 == 0 else -1.0
+    n = np.linalg.norm(vec)
+    return vec / n if n > 0 else vec

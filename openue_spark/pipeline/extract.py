@@ -1,0 +1,233 @@
+"""Spark-native two-stage interaction extraction pipeline.
+
+Re-expresses the reference's `Inference.forward`
+(/root/reference/src/openue/models/model.py:199-393) as a declarative
+DataFrame plan. Stage mapping (SURVEY.md §2):
+
+  P1/P2  lowercase + tokenize      -> mapInPandas (Arrow batches)
+  U1     SEQ relation scoring      -> same mapInPandas pass (one Arrow trip)
+  P5/P6  threshold + argmax fallback -> pure array expressions (no shuffle,
+         no window): filter(transform(probs, ...)) with a first-argmax
+         fallback via array_position(probs, array_max(probs))
+  J1     relation-conditioned fan-out -> explode(selected) — the dense
+         expand-then-masked_select GPU idiom (model.py:236-264) is
+         deliberately NOT copied; filter-before-explode is the relational
+         phrasing and Catalyst keeps it narrow
+  U4     marker splice             -> concat(ids, array(REL_BASE+rel_id, SEP))
+         pure column ops (model.py:276-304)
+  U2/A7/W4/W3  NER forward + argmax + suffix slice + BIO decode
+                                   -> second mapInPandas pass
+  J3     subject x object cartesian -> two explodes (cross within the row)
+  A3     per-sentence regroup      -> unnecessary: conv_id/turn_idx are
+         carried through the fan-out (the reference's prefix-sum slicing,
+         model.py:337-346, is a batch-tensor artifact)
+
+Scale notes (100 TB / 10^12 turns):
+- The entire extraction plan is NARROW — zero shuffles from scan to the raw
+  triple stream. Parallelism = input partitions; no skew surface.
+- Model "weights" here are the deterministic mock scorers (module-level
+  constants, imported once per Python worker). With real weights, swap in a
+  broadcast blob + module-global lazy init inside the same two mapInPandas
+  generators; the plan shape does not change.
+- The only shuffles in the full job are the final dedup/groupBys in
+  materialize.py, where skew salting + AQE apply.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import (
+    MAX_SEQ_LENGTH,
+    NER_LABELS,
+    NUM_RELATIONS,
+    PREDICATES,
+    REL_TOKEN_BASE,
+    SEP_ID,
+    SIGMOID_THRESHOLD,
+)
+from ..mock_models import ner_tags, seq_probs
+from ..oracle import bio_decode_spans, span_text
+from ..tokenizer import encode
+
+_SCORED_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("ids", T.ArrayType(T.IntegerType())),
+        T.StructField("words", T.ArrayType(T.StringType())),
+        T.StructField("probs", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+_DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("rel_id", T.IntegerType()),
+        T.StructField("subjects", T.ArrayType(T.StringType())),
+        T.StructField("objects", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+def _tokenize_and_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """P1+P2+U1 in one Arrow pass: text -> (ids, words, per-relation probs).
+
+    Iterator form so per-worker init (real-model load, were weights real)
+    happens once, not per batch.
+    """
+    max_len = MAX_SEQ_LENGTH - 2  # interactive tokenize bound (utils.py:579-584)
+    for pdf in batches:
+        ids_col, words_col, probs_col = [], [], []
+        for text in pdf["text"].to_numpy():
+            ids, words = encode(text, max_len)
+            ids_col.append(ids)
+            words_col.append(words)
+            probs_col.append(seq_probs(np.asarray(ids, dtype=np.int64)))
+        yield pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"].to_numpy(),
+                "turn_idx": pdf["turn_idx"].to_numpy(),
+                "ids": ids_col,
+                "words": words_col,
+                "probs": probs_col,
+            }
+        )
+
+
+def _ner_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """U2+A7+W4+W3 in one Arrow pass over the fanned-out (turn, relation) rows.
+
+    Consumes the *spliced* sequence built by column ops upstream, so any
+    splice defect changes every mock tag (poly_hash of the full sequence)
+    and breaks parity — deliberate test power.
+    """
+    for pdf in batches:
+        subj_col, obj_col = [], []
+        spliced_arr = pdf["spliced"].to_numpy()
+        words_arr = pdf["words"].to_numpy()
+        rel_arr = pdf["rel_id"].to_numpy()
+        for i in range(len(pdf)):
+            spliced = np.asarray(spliced_arr[i], dtype=np.int64)
+            rel_pos = spliced.size - 2  # true token count before the splice
+            tags = ner_tags(spliced, int(rel_arr[i]))
+            tag_strs = [NER_LABELS[t] for t in tags[: rel_pos - 1]]  # W4 slice
+            subjects, objects = bio_decode_spans(tag_strs)
+            words = list(words_arr[i])
+            subj_col.append([span_text(s, words) for s in subjects])
+            obj_col.append([span_text(s, words) for s in objects])
+        yield pd.DataFrame(
+            {
+                "conv_id": pdf["conv_id"].to_numpy(),
+                "turn_idx": pdf["turn_idx"].to_numpy(),
+                "rel_id": rel_arr,
+                "subjects": subj_col,
+                "objects": obj_col,
+            }
+        )
+
+
+def score_relations(transcripts: DataFrame) -> DataFrame:
+    """transcripts(conv_id, turn_idx, text, ...) -> + ids, words, probs."""
+    cols = [c for c in ("conv_id", "turn_idx", "text") if c in transcripts.columns]
+    return transcripts.select(*cols).mapInPandas(_tokenize_and_score, schema=_SCORED_SCHEMA)
+
+
+def select_relations(scored: DataFrame) -> DataFrame:
+    """P5 threshold + P6 first-argmax fallback + J1 fan-out, shuffle-free.
+
+    Reference: model.py:227-264. `array_position(probs, array_max(probs))`
+    returns the FIRST maximal index, matching torch.max tie-breaking.
+    """
+    pairs = (
+        f"filter(transform(probs, (p, i) -> named_struct('rel_id', i, 'prob', p)),"
+        f" x -> x.prob > {SIGMOID_THRESHOLD})"
+    )
+    fallback = (
+        "array(named_struct('rel_id', int(array_position(probs, array_max(probs)) - 1),"
+        " 'prob', array_max(probs)))"
+    )
+    return (
+        scored.withColumn("cand", F.expr(pairs))
+        .withColumn("sel", F.expr(f"CASE WHEN size(cand) > 0 THEN cand ELSE {fallback} END"))
+        .select("conv_id", "turn_idx", "ids", "words", F.explode("sel").alias("s"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "ids",
+            "words",
+            F.col("s.rel_id").alias("rel_id"),
+            F.col("s.prob").alias("prob"),
+        )
+    )
+
+
+def splice_marker(fanout: DataFrame) -> DataFrame:
+    """U4: append [relationK], [SEP] after the sentence (model.py:276-304).
+
+    With ragged (unpadded) sequences the reference's one-hot position
+    scatter at rel_pos/rel_pos+1 reduces to a concat — pure column ops.
+    """
+    return fanout.withColumn(
+        "spliced",
+        F.expr(f"concat(ids, array({REL_TOKEN_BASE} + rel_id, {SEP_ID}))"),
+    )
+
+
+def decode_spans(spliced: DataFrame) -> DataFrame:
+    """U2+A7+W4+W3: spliced ids -> subject/object surface strings."""
+    return spliced.select("conv_id", "turn_idx", "rel_id", "words", "spliced").mapInPandas(
+        _ner_decode, schema=_DECODED_SCHEMA
+    )
+
+
+def assemble_triples(decoded: DataFrame) -> DataFrame:
+    """J3: subject x object cartesian per (turn, relation) (model.py:358-387).
+
+    Emits only when both sides are non-empty, like the reference's
+    `if h and t`. Duplicates preserved (dedup is a downstream stage).
+    """
+    pred_map = F.create_map(
+        *[x for i, p in enumerate(PREDICATES) for x in (F.lit(i), F.lit(p))]
+    )
+    return (
+        decoded.where((F.size("subjects") > 0) & (F.size("objects") > 0))
+        .select("conv_id", "turn_idx", "rel_id", F.explode("subjects").alias("subj"), "objects")
+        .select("conv_id", "turn_idx", "rel_id", "subj", F.explode("objects").alias("obj"))
+        .select(
+            "conv_id",
+            "turn_idx",
+            "subj",
+            "rel_id",
+            pred_map[F.col("rel_id")].alias("pred"),
+            "obj",
+        )
+    )
+
+
+def extract_triples(transcripts: DataFrame) -> DataFrame:
+    """Full pipeline: transcripts -> raw triple stream (with duplicates).
+
+    Narrow end-to-end: scan -> mapInPandas -> project/explode -> mapInPandas
+    -> explode x2. Zero shuffles; parallelism = input partitions.
+    """
+    return assemble_triples(decode_spans(splice_marker(select_relations(score_relations(transcripts)))))
+
+
+def triple_table(raw_triples: DataFrame) -> DataFrame:
+    """Deduplicated (subj, pred, obj) triple table with support counts.
+
+    The groupBy is the pipeline's first shuffle; at 10^12-turn scale hot
+    predicates skew it — materialize.write_triple_table handles salting/AQE.
+    """
+    return raw_triples.groupBy("subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("support"),
+        F.countDistinct("conv_id").alias("n_convs"),
+    )

@@ -1,0 +1,59 @@
+"""Triple parity: Spark pipeline vs the single-process reference oracle.
+
+This is the BASELINE.md correctness gate: P/R target 1.0 (>= 0.95 required)
+with the shared deterministic mock scorers, computed with the exact-match
+semantics of reference transformer.py:183-215 (multiset containment — we
+assert full multiset equality, which is strictly stronger).
+"""
+
+from collections import Counter
+
+import pytest
+
+from openue_spark.fixtures import transcripts_pandas
+from openue_spark.oracle import extract_corpus
+from openue_spark.pipeline import extract_triples
+
+
+@pytest.fixture(scope="module")
+def fixture_turns():
+    return transcripts_pandas(400)
+
+
+def _oracle_multiset(pdf):
+    rows = list(zip(pdf["conv_id"], pdf["turn_idx"], pdf["text"]))
+    return Counter(
+        (t.conv_id, int(t.turn_idx), t.subj, int(t.rel_id), t.pred, t.obj)
+        for t in extract_corpus(rows)
+    )
+
+
+def test_spark_matches_oracle_exactly(spark, fixture_turns):
+    gold = _oracle_multiset(fixture_turns)
+    assert sum(gold.values()) > 50, "fixture too sparse to be a meaningful gate"
+
+    df = spark.createDataFrame(fixture_turns)
+    got_rows = extract_triples(df).collect()
+    got = Counter(
+        (r.conv_id, int(r.turn_idx), r.subj, int(r.rel_id), r.pred, r.obj) for r in got_rows
+    )
+
+    inter = sum((got & gold).values())
+    pre = sum(got.values())
+    tru = sum(gold.values())
+    precision = inter / pre if pre else 0.0
+    recall = inter / tru if tru else 0.0
+    assert precision == 1.0 and recall == 1.0, (
+        f"P={precision:.4f} R={recall:.4f} pre={pre} true={tru} cor={inter}; "
+        f"sample spark-only: {list((got - gold).keys())[:3]}; "
+        f"sample oracle-only: {list((gold - got).keys())[:3]}"
+    )
+
+
+def test_pipeline_partitioning_invariance(spark, fixture_turns):
+    """Same triples regardless of input partitioning (scale invariant)."""
+    df1 = spark.createDataFrame(fixture_turns).repartition(1)
+    df7 = spark.createDataFrame(fixture_turns).repartition(7)
+    c1 = Counter(tuple(r) for r in extract_triples(df1).collect())
+    c7 = Counter(tuple(r) for r in extract_triples(df7).collect())
+    assert c1 == c7
