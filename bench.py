@@ -1,0 +1,100 @@
+"""Benchmark harness (driver contract: one JSON line on stdout).
+
+Runs the headline pipeline + representative operators at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] (default 32).
+
+The transcript corpus is synthesized deterministically once per scale and
+cached as parquet under .cache/ (generation is fixture setup, not engine
+throughput — the timed region reads parquet like any production scan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from openue_spark import contract  # noqa: E402
+from openue_spark.fixtures import SF_TURNS, transcripts_spark  # noqa: E402
+from openue_spark.pipeline import extract_triples, triple_table  # noqa: E402
+from openue_spark.session import get_spark  # noqa: E402
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def sf_of(sf_dir: str) -> str:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return base[2:] if base.startswith("sf") else base
+
+
+def ensure_transcripts(spark, sf_dir: str) -> tuple[str, int]:
+    sf = sf_of(sf_dir)
+    n_turns = SF_TURNS.get(sf, 6_000)
+    path = os.path.join(REPO, ".cache", f"transcripts_sf{sf}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        transcripts_spark(spark, n_turns).write.mode("overwrite").parquet(path)
+    return path, n_turns
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = get_spark(app_name="openue_bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    tpath, n_turns = ensure_transcripts(spark, sf_dir)
+    transcripts = spark.read.parquet(tpath)
+
+    # Pre-warm JVM + the 32 Python workers (imports, Arrow init) so timings
+    # measure engine throughput, not interpreter startup.
+    extract_triples(transcripts.limit(2048).repartition(int(cpus))).count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        out = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return out
+
+    # q1: headline — full two-stage extraction, raw triple stream
+    n_triples = timed("extract_pipeline", lambda: extract_triples(transcripts).count())
+    extras["triples"] = n_triples
+    extras["turns"] = n_turns
+    extras["triples_per_sec"] = round(n_triples / timings["extract_pipeline"], 1)
+    extras["turns_per_sec"] = round(n_turns / timings["extract_pipeline"], 1)
+
+    # q2: extraction + dedup into the (subj, pred, obj) triple table
+    timed("triple_table", lambda: triple_table(extract_triples(transcripts)).count())
+
+    # q3-q6: representative operators over the driver testdata at this sf
+    timed("ann_cosine_topk", lambda: contract.q_ann_cosine_topk(spark, sf_dir).count())
+    timed("dedup_exact", lambda: contract.q_dedup_exact(spark, sf_dir).count())
+    timed("w2_stable_ordering", lambda: contract.q_w2_stable_ordering(spark, sf_dir).count())
+    timed("a4_micro_prf_counts", lambda: contract.q_a4_micro_prf_counts(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "openue_spark end-to-end bench (extraction + ops)",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_of(sf_dir),
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

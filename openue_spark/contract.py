@@ -151,12 +151,18 @@ def q_a2_group_by_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_a4_micro_prf_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Single-pass formulation: one shuffle on (user_id, event_type) computing
+    # membership flags for both the predicted and gold sets, then a global
+    # reduce — instead of three separate distinct+count jobs.
     events = _t(spark, sf_dir, "events")
-    pred = events.where(F.col("value") > 100.0).select("user_id", "event_type").distinct()
-    gold = events.where(F.col("value") > 120.0).select("user_id", "event_type").distinct()
-    cor = pred.join(gold, ["user_id", "event_type"]).count()
-    return spark.createDataFrame(
-        [(pred.count(), gold.count(), cor)], "pre_cnt long, true_cnt long, cor_cnt long"
+    flags = events.groupBy("user_id", "event_type").agg(
+        F.max(F.when(F.col("value") > 100.0, 1).otherwise(0)).alias("p"),
+        F.max(F.when(F.col("value") > 120.0, 1).otherwise(0)).alias("g"),
+    )
+    return flags.agg(
+        F.sum("p").cast("long").alias("pre_cnt"),
+        F.sum("g").cast("long").alias("true_cnt"),
+        F.sum(F.col("p") * F.col("g")).cast("long").alias("cor_cnt"),
     )
 
 
