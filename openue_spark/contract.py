@@ -265,6 +265,20 @@ def q_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples(turns)
 
 
+# --- entity linking + canonicalization (LSH/CC — rows-only check; runs the
+#     full stage at a reduced, documented turn count to keep verify fast) ---
+
+
+def q_link_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline import extract_triples
+    from .pipeline.linking import canonical_triples, link_entities
+
+    turns = transcripts_spark(spark, max(2_000, _sf_turns(sf_dir) // 30))
+    raw = extract_triples(turns).persist()
+    mapping = link_entities(raw)
+    return canonical_triples(raw, mapping)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "p1_lowercase": q_p1_lowercase,
@@ -282,6 +296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
         "extract_triples": q_extract_triples,
+        "link_canonical_triples": q_link_canonical_triples,
     }
 
 

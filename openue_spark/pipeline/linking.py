@@ -1,0 +1,247 @@
+"""Entity linking / canonicalization (SURVEY.md §2.10; north-rule stage).
+
+The reference emits raw surface-form triples (model.py:380-384) — it has no
+linking. This stage is Spark-native by design:
+
+1. mention table: distinct subject/object surface forms with stable 64-bit ids
+2. candidate blocking: character-3-gram shingles (pure column ops) ->
+   HashingTF (binary) -> MinHashLSH.approxSimilarityJoin with a fixed seed
+   (pyspark.ml, public API) — avoids the O(n^2) all-pairs comparison
+3. rerank: cosine similarity on pooled mention embeddings (mock pooled [CLS]
+   vector = char-trigram hashing vector, openue_spark.mock_models) via a
+   vectorized pandas UDF
+4. connected components: iterative min-label propagation over the surviving
+   edges (join-based union-find) with bounded iterations and per-round
+   localCheckpoint to cut lineage — the scale-safe fixpoint loop
+5. canonical id/name per component: lexicographically-least (shortest-first)
+   member, a deterministic representative
+
+Scale notes: steps 1-3 are shuffle-light (distinct + LSH join); step 4's
+join fan-in is bounded by the candidate-edge count, not the mention count;
+every round coalesces via AQE. Mentions are distinct'd before any expensive
+work, so duplicate surface forms cost nothing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..mock_models import mention_embedding
+
+EMB_DIM = 32
+
+
+def mention_table(triples: DataFrame) -> DataFrame:
+    """Distinct mention surface forms with stable ids (xxhash64 of the
+    string — deterministic across runs/partitionings)."""
+    mentions = (
+        triples.select(F.col("subj").alias("mention"))
+        .unionByName(triples.select(F.col("obj").alias("mention")))
+        .where(F.length("mention") > 0)
+        .distinct()
+    )
+    return mentions.withColumn("mention_id", F.xxhash64("mention"))
+
+
+def _embed_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        vecs = [mention_embedding(m, EMB_DIM) for m in pdf["mention"].to_numpy()]
+        yield pd.DataFrame(
+            {
+                "mention_id": pdf["mention_id"].to_numpy(),
+                "mention": pdf["mention"].to_numpy(),
+                "embedding": vecs,
+            }
+        )
+
+
+_EMB_SCHEMA = T.StructType(
+    [
+        T.StructField("mention_id", T.LongType()),
+        T.StructField("mention", T.StringType()),
+        T.StructField("embedding", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def embed_mentions(mentions: DataFrame) -> DataFrame:
+    """Mock pooled-[CLS] embeddings, Arrow-batched (never per-row Python)."""
+    return mentions.select("mention_id", "mention").mapInPandas(
+        _embed_batches, schema=_EMB_SCHEMA
+    )
+
+
+def candidate_pairs(
+    mentions: DataFrame,
+    jaccard_distance: float = 0.6,
+    num_hash_tables: int = 5,
+    num_features: int = 1 << 18,
+) -> DataFrame:
+    """MinHash-LSH blocking over char-3-gram shingle sets.
+
+    Returns candidate (a_id, b_id, jaccard_dist) with a_id < b_id.
+    Shingling is pure column ops; only the LSH itself uses pyspark.ml.
+    """
+    from pyspark.ml.feature import HashingTF, MinHashLSH
+
+    shingled = mentions.withColumn(
+        "shingles",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(1, length(mention) - 2)),"
+                " i -> substring(mention, i, 3))"
+            )
+        ),
+    )
+    tf = HashingTF(
+        inputCol="shingles", outputCol="features", numFeatures=num_features, binary=True
+    )
+    feats = tf.transform(shingled)
+    lsh = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=num_hash_tables, seed=42
+    )
+    model = lsh.fit(feats)
+    joined = model.approxSimilarityJoin(feats, feats, jaccard_distance, distCol="jaccard_dist")
+    return (
+        joined.where(F.col("datasetA.mention_id") < F.col("datasetB.mention_id"))
+        .select(
+            F.col("datasetA.mention_id").alias("a_id"),
+            F.col("datasetB.mention_id").alias("b_id"),
+            "jaccard_dist",
+        )
+    )
+
+
+def rerank_cosine(
+    pairs: DataFrame, embedded: DataFrame, min_cosine: float = 0.85
+) -> DataFrame:
+    """Keep candidate pairs whose pooled-embedding cosine >= min_cosine.
+
+    Embeddings are L2-normalized at creation, so cosine = dot product —
+    computed with built-in array expressions (JVM-side), no UDF.
+    """
+    ea = embedded.select(
+        F.col("mention_id").alias("a_id"), F.col("embedding").alias("emb_a")
+    )
+    eb = embedded.select(
+        F.col("mention_id").alias("b_id"), F.col("embedding").alias("emb_b")
+    )
+    dot = F.expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    return (
+        pairs.join(ea, "a_id")
+        .join(eb, "b_id")
+        .withColumn("cosine", dot)
+        .where(F.col("cosine") >= min_cosine)
+        .select("a_id", "b_id", "jaccard_dist", "cosine")
+    )
+
+
+def connected_components(
+    mentions: DataFrame, edges: DataFrame, max_iterations: int = 15
+) -> DataFrame:
+    """Join-based min-label propagation to a fixpoint (bounded).
+
+    labels(mention_id, label); each round every node takes the min label in
+    its closed neighborhood. Converges in O(diameter) rounds; surface-form
+    clusters are tiny, so the bound is generous. Each round localCheckpoints
+    to keep lineage flat (iterative-join lineage blowup is the classic trap).
+    """
+    sym = (
+        edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .distinct()
+    )
+    labels = mentions.select("mention_id", F.col("mention_id").alias("label"))
+    sym = sym.persist()
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym.dst == labels.mention_id)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.mention_id == neighbor_min.src, "left")
+            .select(
+                "mention_id",
+                F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "mention_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels
+
+
+def canonicalize(mentions: DataFrame, labels: DataFrame) -> DataFrame:
+    """Per component: canonical member = (shortest, then lexicographically
+    least) mention. Returns (mention, mention_id, canonical_id, canonical)."""
+    labeled = mentions.join(labels, "mention_id")
+    reps = (
+        labeled.groupBy("label")
+        .agg(
+            F.min(F.struct(F.length("mention").alias("len"), F.col("mention"), F.col("mention_id"))).alias("rep")
+        )
+        .select(
+            "label",
+            F.col("rep.mention").alias("canonical"),
+            F.col("rep.mention_id").alias("canonical_id"),
+        )
+    )
+    return labeled.join(reps, "label").select(
+        "mention", "mention_id", "canonical_id", "canonical"
+    )
+
+
+def link_entities(
+    triples: DataFrame,
+    jaccard_distance: float = 0.6,
+    min_cosine: float = 0.85,
+) -> DataFrame:
+    """Full linking stage: triples -> canonical mention mapping."""
+    mentions = mention_table(triples)
+    embedded = embed_mentions(mentions).persist()
+    pairs = candidate_pairs(mentions, jaccard_distance)
+    edges = rerank_cosine(pairs, embedded, min_cosine)
+    labels = connected_components(mentions, edges)
+    mapping = canonicalize(mentions, labels)
+    embedded.unpersist()
+    return mapping
+
+
+def canonical_triples(triples: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Rewrite subj/obj to canonical forms (two hash joins on the mention
+    string; the mapping is small relative to triples — AQE converts to
+    broadcast when it fits)."""
+    subj_map = mapping.select(
+        F.col("mention").alias("subj"), F.col("canonical").alias("subj_canon")
+    )
+    obj_map = mapping.select(
+        F.col("mention").alias("obj"), F.col("canonical").alias("obj_canon")
+    )
+    return (
+        triples.join(subj_map, "subj", "left")
+        .join(obj_map, "obj", "left")
+        .select(
+            "conv_id",
+            "turn_idx",
+            F.coalesce("subj_canon", "subj").alias("subj"),
+            "rel_id",
+            "pred",
+            F.coalesce("obj_canon", "obj").alias("obj"),
+        )
+    )

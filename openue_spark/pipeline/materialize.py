@@ -1,0 +1,159 @@
+"""Graph materialization: deduplicated triple table, per-partition lineage
+manifest, and checkpoint-resumable sharded runs (north rule; reference
+analogue is the feature cache, utils.py:223-302).
+
+Layout (parquet in the sandbox; the layout maps 1:1 onto an Iceberg table
+with `PARTITIONED BY (pred, bucket(N, conv_bucket))`):
+
+  out_dir/
+    triples/shard=K/...      one directory per conv_id-hash shard
+    manifest/...             append-only lineage rows, one per (run, shard)
+
+Skew: the (subj, pred, obj) dedup groupBy is exposed to hot-predicate skew
+at 10^12-turn scale; `dedup_triples_salted` does an explicit two-phase
+salted aggregation (partial counts per salt, then re-aggregate), on top of
+AQE skew handling enabled in session.py.
+
+Resume: a run processes conv_id-hash shards independently; each completed
+shard appends a manifest row. A resumed run anti-joins the done-shard set
+and only executes the remainder — kill the job anywhere and re-submit.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .extract import extract_triples
+
+MANIFEST_SCHEMA = (
+    "run_id string, stage string, shard int, input_fingerprint bigint,"
+    " row_count long, triple_count long, wall_ms long, ts timestamp"
+)
+
+
+def dedup_triples_salted(raw_triples: DataFrame, salt_buckets: int = 16) -> DataFrame:
+    """(subj, pred, obj) dedup + support counts via explicit two-phase
+    salted aggregation: phase 1 aggregates within (salt, key) — spreading a
+    hot key over `salt_buckets` reducers — phase 2 merges the partials."""
+    salted = raw_triples.withColumn(
+        "salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_buckets))
+    )
+    partial = salted.groupBy("salt", "subj", "pred", "obj").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return partial.groupBy("subj", "pred", "obj").agg(
+        F.sum("cnt").alias("support")
+    )
+
+
+def shard_of(conv_col, n_shards: int):
+    return F.pmod(F.xxhash64(conv_col), F.lit(n_shards)).cast("int")
+
+
+def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
+    import os
+
+    path = f"{out_dir}/manifest"
+    if not os.path.isdir(path):  # local FS probe avoids noisy first-run read
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+    try:
+        return spark.read.schema(MANIFEST_SCHEMA).parquet(path)
+    except Exception:
+        return spark.createDataFrame([], MANIFEST_SCHEMA)
+
+
+def completed_shards(spark: SparkSession, out_dir: str, stage: str) -> set[int]:
+    rows = (
+        read_manifest(spark, out_dir)
+        .where(F.col("stage") == stage)
+        .select("shard")
+        .distinct()
+        .collect()
+    )
+    return {r.shard for r in rows}
+
+
+def _append_manifest(spark: SparkSession, out_dir: str, row: tuple) -> None:
+    spark.createDataFrame([row], MANIFEST_SCHEMA).write.mode("append").parquet(
+        f"{out_dir}/manifest"
+    )
+
+
+def run_extraction_resumable(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    out_dir: str,
+    n_shards: int = 8,
+    stage: str = "extract",
+    fail_after_shards: int | None = None,
+) -> DataFrame:
+    """Sharded, checkpoint-resumable extraction run.
+
+    Each shard (pmod(xxhash64(conv_id), n_shards)) is extracted and written
+    independently; a manifest row records lineage (input fingerprint = xor
+    of turn-key hashes), row/triple counts, and wall time. On re-submission
+    only missing shards run. `fail_after_shards` is a test hook simulating
+    a mid-run crash.
+
+    Returns the complete triple table read back from out_dir.
+    """
+    run_id = uuid.uuid4().hex[:12]
+    done = completed_shards(spark, out_dir, stage)
+    sharded = transcripts.withColumn("shard", shard_of(F.col("conv_id"), n_shards))
+
+    n_done_this_run = 0
+    for shard in range(n_shards):
+        if shard in done:
+            continue
+        t0 = time.time()
+        part = sharded.where(F.col("shard") == shard).drop("shard")
+        stats = part.agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(conv_id, turn_idx))"), F.lit(0)
+            ).alias("fp"),
+        ).collect()[0]
+        triples = extract_triples(part)
+        (
+            triples.write.mode("overwrite")
+            .parquet(f"{out_dir}/triples/shard={shard}")
+        )
+        n_triples = spark.read.parquet(f"{out_dir}/triples/shard={shard}").count()
+        _append_manifest(
+            spark,
+            out_dir,
+            (
+                run_id,
+                stage,
+                shard,
+                int(stats.fp),
+                int(stats.rows),
+                int(n_triples),
+                int((time.time() - t0) * 1000),
+                __import__("datetime").datetime.now(),
+            ),
+        )
+        n_done_this_run += 1
+        if fail_after_shards is not None and n_done_this_run >= fail_after_shards:
+            raise RuntimeError(f"injected failure after {n_done_this_run} shards")
+
+    return spark.read.parquet(f"{out_dir}/triples")
+
+
+def write_triple_table(
+    triples: DataFrame, path: str, salt_buckets: int = 16
+) -> None:
+    """Final deduplicated graph table partitioned by predicate (hive-style
+    dirs here; bucket(conv_id) ordering preserved via in-file sort)."""
+    deduped = dedup_triples_salted(triples, salt_buckets)
+    (
+        deduped.repartition("pred")
+        .sortWithinPartitions("subj", "obj")
+        .write.mode("overwrite")
+        .partitionBy("pred")
+        .parquet(path)
+    )
