@@ -200,12 +200,9 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _t(spark, sf_dir, "documents").select(
-        "doc_id",
-        F.when(F.length(F.trim(F.col("text"))) == 0, F.lit(0))
-        .otherwise(F.size(F.split(F.trim(F.col("text")), r"\s+")))
-        .alias("token_cnt"),
-    )
+    from .ops.text import with_token_counts
+
+    return with_token_counts(_t(spark, sf_dir, "documents"))
 
 
 # --- text analysis: language-ID heuristic ---
@@ -255,6 +252,81 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- dedup family (ops.dedup): MinHash-LSH / SimHash / n-gram Jaccard ---
+
+
+def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.dedup import minhash_verified_pairs
+
+    return minhash_verified_pairs(_t(spark, sf_dir, "documents"), min_jaccard=0.6)
+
+
+def q_minhash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.dedup import minhash_dedup_keep
+
+    return minhash_dedup_keep(_t(spark, sf_dir, "documents"), min_jaccard=0.6)
+
+
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), min_jaccard=0.5)
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.dedup import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), min_cosine=0.4)
+
+
+# --- text analysis (ops.text) ---
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.text import with_quality_score
+
+    return with_quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.text import with_fingerprint
+
+    return with_fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# --- similarity: IVF approximate top-k (scale path; rows-only) ---
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries_df = (
+        emb.where(F.col("vec_id") < 3)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").cast("array<double>").alias("qvec"),
+        )
+    )
+    return ivf_topk(emb, queries_df, k=10)
+
+
+# --- multimodal plumbing (stubbed decode; rows-only) ---
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.multimodal import decode_features, synth_media
+
+    media = synth_media(spark, max(500, _sf_turns(sf_dir) // 100))
+    return decode_features(media, fake=True)
+
+
 # --- full extraction pipeline (mock forwards — rows-only check) ---
 
 
@@ -297,7 +369,108 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "extract_triples": q_extract_triples,
         "link_canonical_triples": q_link_canonical_triples,
+        "minhash_verified_pairs": q_minhash_verified_pairs,
+        "minhash_dedup_keep": q_minhash_dedup_keep,
+        "simhash_near_dup": q_simhash_near_dup,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "embedding_near_dup": q_embedding_near_dup,
+        "text_quality": q_text_quality,
+        "doc_fingerprint": q_doc_fingerprint,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "multimodal_features": q_multimodal_features,
     }
+
+
+# --- DuckDB oracle SQL builders for the dedup family -----------------------
+# The hash primitive is md5 on identical input strings, so Spark and DuckDB
+# agree bit-for-bit; list/array semantics are mirrored construct by construct.
+
+_DUCK_CORPUS = (
+    "base AS (SELECT doc_id,"
+    " regexp_split_to_array(trim(lower(text)), '\\s+') AS tokens FROM documents),"
+    " corpus AS ("
+    "  SELECT doc_id, tokens FROM base"
+    "  UNION ALL"
+    "  SELECT doc_id + 1000000 AS doc_id,"
+    "   tokens[1:greatest(1, cast(floor(len(tokens) * 0.8) as int))] AS tokens"
+    "  FROM base WHERE doc_id % 5 = 0),"
+    " shingled AS ("
+    "  SELECT doc_id, list_distinct(list_transform("
+    "   range(1, greatest(len(tokens) - 2, 1) + 1),"
+    "   i -> array_to_string(tokens[i:i+2], ' '))) AS shingles"
+    "  FROM corpus)"
+)
+
+_DUCK_SIGS = (
+    " sigs AS (SELECT doc_id, "
+    + ", ".join(
+        f"list_min(list_transform(shingles, s -> md5(s || '#{i}'))) AS sig{i}"
+        for i in range(8)
+    )
+    + " FROM shingled),"
+    " bands AS ("
+    + " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_id, md5(sig{2 * b} || '|' || sig{2 * b + 1}) AS band_hash FROM sigs"
+        for b in range(4)
+    )
+    + "),"
+    " cand AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id"
+    "  FROM bands a JOIN bands b"
+    "  ON a.band_id = b.band_id AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id),"
+    " verified AS (SELECT c.a_id, c.b_id,"
+    "  len(list_intersect(sa.shingles, sb.shingles)) /"
+    "  cast(len(list_distinct(list_concat(sa.shingles, sb.shingles))) as double) AS jaccard"
+    "  FROM cand c JOIN shingled sa ON sa.doc_id = c.a_id"
+    "  JOIN shingled sb ON sb.doc_id = c.b_id)"
+)
+
+_DUCK_MINHASH_PAIRS = (
+    f"WITH {_DUCK_CORPUS},{_DUCK_SIGS}"
+    " SELECT a_id, b_id, round(jaccard, 4) AS jaccard_r FROM verified"
+    " WHERE jaccard >= 0.6"
+)
+
+_DUCK_MINHASH_KEEP = (
+    f"WITH {_DUCK_CORPUS},{_DUCK_SIGS}"
+    " SELECT doc_id FROM corpus WHERE doc_id NOT IN"
+    " (SELECT DISTINCT b_id FROM verified WHERE jaccard >= 0.6)"
+)
+
+_DUCK_HEX4 = (
+    "((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096"
+    " + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256"
+    " + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1))"
+)
+
+_DUCK_SIMHASH = (
+    f"WITH {_DUCK_CORPUS},"
+    f" vals AS (SELECT doc_id, list_transform(tokens, t -> {_DUCK_HEX4}) AS vs FROM corpus),"
+    " sh AS (SELECT doc_id, ("
+    + " + ".join(
+        f"(CASE WHEN list_sum(list_transform(vs, v -> 2 * ((v >> {k}) & 1) - 1)) > 0"
+        f" THEN {1 << k} ELSE 0 END)"
+        for k in range(16)
+    )
+    + ") AS simhash FROM vals),"
+    " nib AS (SELECT doc_id, simhash, n AS nib_id, (simhash >> (4 * n)) & 15 AS nib_val"
+    "  FROM sh, range(4) t(n)),"
+    " pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,"
+    "  bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS hamming"
+    "  FROM nib a JOIN nib b ON a.nib_id = b.nib_id AND a.nib_val = b.nib_val"
+    "   AND a.doc_id < b.doc_id)"
+    " SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3"
+)
+
+_DUCK_NGRAM_JACCARD = (
+    f"WITH {_DUCK_CORPUS},"
+    " inv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM shingled),"
+    " shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS na, b.n_sh AS nb,"
+    "  count(*) AS shared FROM inv a JOIN inv b"
+    "  ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)"
+    " SELECT a_id, b_id, round(shared / cast(na + nb - shared as double), 4) AS jaccard_r"
+    " FROM shared WHERE shared / cast(na + nb - shared as double) >= 0.5"
+)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -359,8 +532,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "text_token_count": (
             "SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0"
-            " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS token_cnt"
-            " FROM documents"
+            " ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws_tokens,"
+            " len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))"
+            " AS bpe_tokens FROM documents"
         ),
         "text_lang_id": (
             "SELECT doc_id, CASE WHEN"
@@ -381,6 +555,43 @@ def oracle_sql() -> dict[str, str]:
             " SELECT query_id, neighbor_id, rank, round(cos_sim, 4) AS cos_sim_r"
             " FROM ranked WHERE rank <= 10"
         ),
-        # extract_triples: no oracle (mock model forwards are not
-        # SQL-expressible) -> driver records rows-only check.
+        "minhash_verified_pairs": _DUCK_MINHASH_PAIRS,
+        "minhash_dedup_keep": _DUCK_MINHASH_KEEP,
+        "simhash_near_dup": _DUCK_SIMHASH,
+        "ngram_jaccard_pairs": _DUCK_NGRAM_JACCARD,
+        "embedding_near_dup": (
+            "SELECT a.vec_id AS a_id, b.vec_id AS b_id,"
+            " round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)"
+            " AS cosine_r"
+            " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
+            " WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4"
+        ),
+        "text_quality": (
+            "WITH f AS (SELECT doc_id, text, length(text) AS n_chars,"
+            "  CASE WHEN length(trim(text)) = 0 THEN 0"
+            "   ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+')) END AS n_tokens,"
+            "  CASE WHEN length(trim(text)) = 0 THEN 0"
+            "   ELSE len(list_filter(regexp_split_to_array(trim(lower(text)), '\\s+'),"
+            "    t -> list_contains(['the','a','of','in','and','to','is','was','for','on'], t))) END AS n_sw,"
+            "  length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS n_punct"
+            " FROM documents)"
+            " SELECT doc_id, n_chars, n_tokens,"
+            "  round(CASE WHEN n_chars = 0 THEN 0.0"
+            "   ELSE n_punct / cast(n_chars as double) END, 4) AS punct_ratio,"
+            "  round(CASE WHEN n_tokens = 0 THEN 0.0"
+            "   ELSE n_sw / cast(n_tokens as double) END, 4) AS stopword_ratio,"
+            "  round((CASE WHEN n_chars BETWEEN 50 AND 5000 THEN 1.0 ELSE 0.0 END)"
+            "   * (1.0 - CASE WHEN n_chars = 0 THEN 0.0 ELSE n_punct / cast(n_chars as double) END)"
+            "   * least(1.0, 4.0 * CASE WHEN n_tokens = 0 THEN 0.0"
+            "      ELSE n_sw / cast(n_tokens as double) END), 4) AS quality_score"
+            " FROM f"
+        ),
+        "doc_fingerprint": (
+            "SELECT doc_id,"
+            " md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint"
+            " FROM documents"
+        ),
+        # extract_triples, link_canonical_triples, ann_ivf_topk,
+        # multimodal_features: no oracle (mock model forwards / seeded LSH /
+        # stubbed decode are not SQL-expressible) -> rows-only checks.
     }

@@ -1,0 +1,236 @@
+"""Large-scale deduplication operators (training-data pipeline ops).
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a text corpus.
+Every operator here is expressed with built-in column expressions (JVM-side,
+whole-stage codegen) — no Python UDFs — and each has an equivalent DuckDB
+oracle (openue_spark.contract) because the hash primitive is md5, which both
+engines implement identically:
+
+- MinHash signature component i  = min over shingles of md5(shingle || '#i')
+  (lexicographic min over uniformly-distributed hex strings is a valid
+  min-hash); LSH band hash = md5(sig_2b || '|' || sig_2b+1).
+- SimHash (16-bit) token value  = first 4 hex chars of md5(token) parsed as
+  an int; bit k of the fingerprint = sign of sum over tokens of ±1 by bit k.
+
+Scale notes:
+- Signatures/fingerprints are per-row array expressions — narrow, no shuffle.
+- The only shuffles are the LSH band self-join (keys are uniform hashes — no
+  skew by construction) and the final verify join.
+- Candidate pairs are verified with exact Jaccard before any drop decision,
+  so LSH false positives never delete data.
+
+The test corpus plants near-duplicates deterministically: every doc_id % 5
+document is re-added (id + 1_000_000) truncated to its first 80% of tokens.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_HASHES = 8
+N_BANDS = 4  # rows per band = N_HASHES / N_BANDS = 2
+
+TOKENS = r"split(trim(lower(text)), '\\s+')"
+
+
+def with_tokens(docs: DataFrame) -> DataFrame:
+    return docs.withColumn("tokens", F.expr(TOKENS))
+
+
+def planted_corpus(docs: DataFrame) -> DataFrame:
+    """documents ∪ near-duplicate plants: doc_id%5==0 docs re-added with
+    id+1_000_000 and only their first 80% of tokens."""
+    base = with_tokens(docs.select("doc_id", "text")).select("doc_id", "tokens")
+    plants = (
+        with_tokens(docs.select("doc_id", "text"))
+        .where(F.col("doc_id") % 5 == 0)
+        .select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.expr(
+                "slice(tokens, 1, greatest(1, cast(floor(size(tokens) * 0.8) as int)))"
+            ).alias("tokens"),
+        )
+    )
+    return base.unionByName(plants)
+
+
+def with_shingles(corpus: DataFrame, k: int = 3) -> DataFrame:
+    """Word k-gram shingle set per doc (whole token list if < k tokens)."""
+    return corpus.withColumn(
+        "shingles",
+        F.array_distinct(
+            F.expr(
+                f"transform(sequence(1, greatest(size(tokens) - {k - 1}, 1)),"
+                f" i -> concat_ws(' ', slice(tokens, i, {k})))"
+            )
+        ),
+    )
+
+
+def with_minhash_signature(shingled: DataFrame, n_hashes: int = N_HASHES) -> DataFrame:
+    """sig_i = min over shingles of md5(shingle || '#i') — per-row, no shuffle."""
+    sigs = [
+        F.expr(f"array_min(transform(shingles, s -> md5(concat(s, '#{i}'))))").alias(f"sig{i}")
+        for i in range(n_hashes)
+    ]
+    return shingled.select("*", *sigs)
+
+
+def with_band_hashes(signed: DataFrame, n_bands: int = N_BANDS, n_hashes: int = N_HASHES) -> DataFrame:
+    rows_per_band = n_hashes // n_bands
+    bands = [
+        F.md5(
+            F.concat_ws("|", *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)])
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    return signed.select("*", *bands)
+
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """LSH blocking: docs sharing any band hash -> distinct (a_id, b_id)."""
+    banded = with_band_hashes(with_minhash_signature(with_shingles(planted_corpus(docs))))
+    stacked = banded.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_hash")) for b in range(N_BANDS)])
+        ).alias("bh"),
+    ).select("doc_id", "bh.band_id", "bh.band_hash")
+    a = stacked.select(F.col("doc_id").alias("a_id"), "band_id", "band_hash")
+    b = stacked.select(F.col("doc_id").alias("b_id"), "band_id", "band_hash")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+
+
+def minhash_verified_pairs(docs: DataFrame, min_jaccard: float = 0.6) -> DataFrame:
+    """LSH candidates verified with exact shingle-set Jaccard."""
+    shingled = with_shingles(planted_corpus(docs)).select("doc_id", "shingles")
+    pairs = minhash_candidate_pairs(docs)
+    sa = shingled.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b"))
+    return (
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard",
+            F.expr(
+                "size(array_intersect(sh_a, sh_b)) / cast(size(array_union(sh_a, sh_b)) as double)"
+            ),
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard_r"))
+    )
+
+
+def minhash_dedup_keep(docs: DataFrame, min_jaccard: float = 0.6) -> DataFrame:
+    """Greedy dedup: drop the higher doc_id of every verified near-dup pair;
+    return the surviving doc ids."""
+    drops = minhash_verified_pairs(docs, min_jaccard).select(
+        F.col("b_id").alias("doc_id")
+    ).distinct()
+    corpus_ids = planted_corpus(docs).select("doc_id")
+    return corpus_ids.join(drops, "doc_id", "left_anti").select("doc_id")
+
+
+# --- SimHash (16-bit) ---
+
+_HEX4 = "cast(conv(substring(md5(t), 1, 4), 16, 10) as int)"
+
+
+def with_simhash(corpus: DataFrame) -> DataFrame:
+    """16-bit SimHash per doc from token md5 values — per-row expressions."""
+    vals = f"transform(tokens, t -> {_HEX4})"
+    bit_terms = []
+    for k in range(16):
+        s = (
+            f"aggregate({vals}, 0, (acc, v) ->"
+            f" acc + (2 * int((v >> {k}) & 1) - 1))"
+        )
+        bit_terms.append(f"(CASE WHEN ({s}) > 0 THEN {1 << k} ELSE 0 END)")
+    return corpus.withColumn("simhash", F.expr(" + ".join(bit_terms)))
+
+
+def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Banded SimHash join: 4 nibbles; pairs agreeing on any nibble are
+    candidates; keep hamming(simhash_a, simhash_b) <= max_hamming."""
+    hashed = with_simhash(planted_corpus(docs)).select("doc_id", "simhash")
+    nibbles = hashed.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(n).alias("nib_id"),
+                    F.expr(f"int((simhash >> {4 * n}) & 15)").alias("nib_val"),
+                )
+                for n in range(4)
+            ])
+        ).alias("nb"),
+    ).select("doc_id", "simhash", "nb.nib_id", "nb.nib_val")
+    a = nibbles.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sh_a"), "nib_id", "nib_val")
+    b = nibbles.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("sh_b"), "nib_id", "nib_val")
+    return (
+        a.join(b, ["nib_id", "nib_val"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- n-gram Jaccard (shingle-join blocking, no MinHash approximation) ---
+
+
+def ngram_jaccard_pairs(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
+    """Exact n-gram Jaccard over pairs sharing >= 1 shingle: explode the
+    shingle sets, self-join on shingle (inverted-index blocking), count
+    shared shingles per pair, then J = shared / (|A| + |B| - shared)."""
+    shingled = with_shingles(planted_corpus(docs)).select(
+        "doc_id", "shingles", F.size("shingles").alias("n_sh")
+    )
+    inv = shingled.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    a = inv.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"), "shingle")
+    b = inv.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"), "shingle")
+    shared = (
+        a.join(b, "shingle")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.withColumn(
+            "jaccard", F.expr("shared / cast(na + nb - shared as double)")
+        )
+        .where(F.col("jaccard") >= min_jaccard)
+        .select("a_id", "b_id", F.round("jaccard", 4).alias("jaccard_r"))
+    )
+
+
+# --- embedding cosine near-dup ---
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame, min_cosine: float = 0.95) -> DataFrame:
+    """Brute-force cosine near-dup pairs over an embedding column.
+
+    Baseline (exact) variant; the LSH-bucketed scale path lives in
+    ops.similarity. O(n^2) within-partition compare via a self cross join —
+    acceptable as the verify/recall oracle, not the 100 TB path.
+    """
+    e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("emb_b"))
+    dot = F.expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    na = F.sqrt(F.expr("aggregate(transform(emb_a, x -> x * x), 0D, (acc, v) -> acc + v)"))
+    nb = F.sqrt(F.expr("aggregate(transform(emb_b, x -> x * x), 0D, (acc, v) -> acc + v)"))
+    return (
+        a.crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", dot / (na * nb))
+        .where(F.col("cosine") >= min_cosine)
+        .select("a_id", "b_id", F.round("cosine", 4).alias("cosine_r"))
+    )

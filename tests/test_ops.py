@@ -1,0 +1,153 @@
+"""Training-data ops: dedup family, similarity search, text analysis,
+multimodal plumbing."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    # word-soup docs over a small vocab, like the driver's documents table
+    rng = np.random.RandomState(7)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = [
+        (i, " ".join(rng.choice(vocab, size=rng.randint(20, 60))))
+        for i in range(60)
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string").persist()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(80, 16)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>").persist()
+
+
+def test_minhash_finds_planted_near_dups(spark, docs):
+    from openue_spark.ops.dedup import minhash_verified_pairs
+
+    pairs = {(r.a_id, r.b_id) for r in minhash_verified_pairs(docs, 0.6).collect()}
+    planted = {(i, i + 1_000_000) for i in range(0, 60, 5)}
+    # an 80%-truncated copy has Jaccard >= ~0.75 with its source; all planted
+    # pairs must be discovered (LSH with 4 bands of 2 rows at J>=0.75:
+    # p_miss = (1 - J^2)^4 < 4%, and verification is exact)
+    found = planted & pairs
+    assert len(found) >= len(planted) - 1, f"missed {planted - pairs}"
+    # every reported pair really passes the threshold
+    for r in minhash_verified_pairs(docs, 0.6).collect():
+        assert r.jaccard_r >= 0.6
+
+
+def test_minhash_dedup_keep_drops_plants(spark, docs):
+    from openue_spark.ops.dedup import minhash_dedup_keep, planted_corpus
+
+    keep = {r.doc_id for r in minhash_dedup_keep(docs, 0.6).collect()}
+    n_corpus = planted_corpus(docs).count()
+    assert len(keep) < n_corpus  # something was dropped
+    # originals always survive (drops are always the higher id of a pair)
+    assert all(i in keep for i in range(60))
+
+
+def test_simhash_near_dups_have_close_hashes(spark, docs):
+    from openue_spark.ops.dedup import simhash_near_dup_pairs, with_simhash, planted_corpus
+
+    hashes = {r.doc_id: r.simhash for r in with_simhash(planted_corpus(docs)).collect()}
+    assert all(0 <= h < (1 << 16) for h in hashes.values())
+    pairs = simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    for r in pairs:
+        assert bin(hashes[r.a_id] ^ hashes[r.b_id]).count("1") == r.hamming <= 3
+
+
+def test_ngram_jaccard_matches_python(spark, docs):
+    from openue_spark.ops.dedup import ngram_jaccard_pairs
+
+    rows = docs.collect()
+    texts = {r.doc_id: r.text for r in rows}
+
+    def shingles(t):
+        toks = t.lower().strip().split()
+        n = max(len(toks) - 2, 1)
+        return {" ".join(toks[i : i + 3]) for i in range(n)}
+
+    corpus = {**{d: shingles(t) for d, t in texts.items()},
+              **{d + 1_000_000: shingles(" ".join(t.split()[: max(1, int(len(t.split()) * 0.8))]))
+                 for d, t in texts.items() if d % 5 == 0}}
+    expect = set()
+    ids = sorted(corpus)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(corpus[a] & corpus[b])
+            union = len(corpus[a] | corpus[b])
+            if inter and inter / union >= 0.5:
+                expect.add((a, b))
+    got = {(r.a_id, r.b_id) for r in ngram_jaccard_pairs(docs, 0.5).collect()}
+    assert got == expect
+
+
+def test_embedding_near_dup_symmetric_threshold(spark, emb):
+    from openue_spark.ops.dedup import embedding_near_dup_pairs
+
+    pairs = embedding_near_dup_pairs(emb, min_cosine=0.5).collect()
+    for r in pairs:
+        assert r.a_id < r.b_id and r.cosine_r >= 0.5
+
+
+def test_ivf_recall_vs_brute_force(spark, emb):
+    from openue_spark.ops.similarity import brute_force_topk, ivf_topk, recall_at_k
+
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    approx = ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=4)
+    r = recall_at_k(approx, exact)
+    assert r >= 0.5, f"IVF recall {r} too low"
+    # probing all buckets must recover everything
+    full = ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=8)
+    assert recall_at_k(full, exact) == 1.0
+
+
+def test_text_ops_edge_cases(spark):
+    from openue_spark.ops.text import with_fingerprint, with_quality_score, with_token_counts
+
+    rows = [(0, ""), (1, "   "), (2, "The quick, brown fox!"), (3, "the " * 100)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tc = {r.doc_id: (r.ws_tokens, r.bpe_tokens) for r in with_token_counts(df).collect()}
+    assert tc[0] == (0, 0)
+    assert tc[1] == (0, 0)
+    assert tc[2] == (4, 6)  # the|quick|,|brown|fox|!
+    q = {r.doc_id: r for r in with_quality_score(df).collect()}
+    assert q[0].quality_score == 0.0
+    assert q[3].stopword_ratio == 1.0
+    fp = {r.doc_id: r.fingerprint for r in with_fingerprint(df).collect()}
+    assert fp[0] == fp[1]  # whitespace-only normalizes to empty
+
+
+def test_multimodal_plumbing(spark):
+    from openue_spark.ops.multimodal import (
+        decode_features,
+        frame_sample_plan,
+        resize_plan,
+        synth_media,
+    )
+
+    media = synth_media(spark, 90).persist()
+    assert media.count() == 90
+    feats = decode_features(media, fake=True).collect()
+    assert len(feats) == 90
+    assert all(len(r.feature) == 16 for r in feats)
+    # deterministic across runs
+    again = decode_features(media, fake=True).collect()
+    assert {r.media_id: tuple(r.feature) for r in feats} == {
+        r.media_id: tuple(r.feature) for r in again
+    }
+    # real-decode path is an explicit stub
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        decode_features(media, fake=False).collect()
+    rp = resize_plan(media, max_side=256).collect()
+    assert all(max(r.new_width, r.new_height) <= 256 or r.scale == 1.0 for r in rp)
+    fs = frame_sample_plan(media, fps=1.0).collect()
+    assert all(len(r.frame_ts_ms) == r.duration_ms // 1000 for r in fs)
