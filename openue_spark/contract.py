@@ -327,6 +327,151 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_features(media, fake=True)
 
 
+# --- P3: empty-gold filter (reference utils.py:368-369) ---
+
+
+def q_p3_empty_gold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop groups whose gold set is empty. Stand-in: per-user gold predicate
+    set = event_types seen with value > 120; users with none are dropped
+    (the reference drops sentences whose spo_list is empty)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.countDistinct(
+                F.when(F.col("value") > 120.0, F.col("event_type"))
+            ).alias("n_gold")
+        )
+        .where(F.col("n_gold") > 0)
+    )
+
+
+# --- J2: token-subsequence locate, both reference variants
+#         (utils.py:414-419 breaks one early — misses a match flush with the
+#          end of the sentence; utils.py:564-569 is inclusive/correct) ---
+
+
+def q_j2_token_locate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim(F.lower(F.col("text"))), r"\s+")
+    out = docs.select("doc_id", toks.alias("tokens")).select(
+        "doc_id",
+        F.element_at("tokens", -1).alias("needle"),
+        F.col("tokens"),
+    )
+    return out.select(
+        "doc_id",
+        # interactive variant: full-range first match (always found here —
+        # the needle is the document's own last token)
+        F.array_position("tokens", F.col("needle")).cast("int").alias("pos_interactive"),
+        # NER variant: the scan breaks before a match that ends flush with the
+        # sentence end -> search only the first n-1 tokens; 0 -> NULL
+        F.nullif(
+            F.array_position(
+                F.slice("tokens", 1, F.greatest(F.size("tokens") - 1, F.lit(0))),
+                F.col("needle"),
+            ).cast("int"),
+            F.lit(0),
+        ).alias("pos_ner"),
+    )
+
+
+# --- W4: suffix slice before decode (reference model.py:322-335) ---
+
+
+def q_w4_suffix_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents").where(F.length(F.trim("text")) > 0)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.select(
+        "doc_id",
+        F.array_join(
+            F.slice(toks, 1, F.greatest(F.size(toks) - 2, F.lit(0))), " "
+        ).alias("kept_text"),
+    )
+
+
+def _token_islands(docs: DataFrame, flag_col) -> DataFrame:
+    """Gaps-and-islands chunk decode over a token stream: maximal runs of
+    tokens satisfying `flag_col` become chunks (SQL phrasing of the
+    reference's sequential BIO state machine, model.py:395-421 — open on
+    flag, close when the flag drops)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    t = (
+        docs.where(F.length(F.trim("text")) > 0)
+        .select("doc_id", F.posexplode(toks).alias("pos", "token"))
+        .withColumn("f", flag_col)
+    )
+    w_f = Window.partitionBy("doc_id", "f").orderBy("pos")
+    t = t.withColumn("grp", F.col("pos") - F.row_number().over(w_f))
+    return (
+        t.where(F.col("f") == 1)
+        .groupBy("doc_id", "grp")
+        .agg(
+            F.min("pos").alias("start_pos"),
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(pos, token))),"
+                " x -> x.token), ' ')"
+            ).alias("chunk"),
+        )
+        .select("doc_id", "start_pos", "n_tokens", "chunk")
+    )
+
+
+# --- W3: span decode as gaps-and-islands (reference model.py:395-421) ---
+
+
+def q_w3_span_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    flag = F.when(F.col("token").rlike("^s"), 1).otherwise(0)
+    return _token_islands(docs, flag)
+
+
+# --- A5: chunk-level P/R counts (reference utils.py:110-159) ---
+
+
+def q_a5_chunk_prf_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk sets from two tag sources, intersected by exact (doc, start,
+    surface) match — the seqeval-style set intersection the reference uses
+    for NER P/R."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = _token_islands(docs, F.when(F.length("token") >= 5, 1).otherwise(0))
+    gold = _token_islands(docs, F.when(F.col("token").rlike("^[st]"), 1).otherwise(0))
+    both = (
+        pred.select("doc_id", "start_pos", "chunk").withColumn("p", F.lit(1))
+        .join(
+            gold.select("doc_id", "start_pos", "chunk").withColumn("g", F.lit(1)),
+            ["doc_id", "start_pos", "chunk"],
+            "full",
+        )
+        .na.fill(0, ["p", "g"])
+    )
+    return both.agg(
+        F.sum("p").cast("long").alias("pre_cnt"),
+        F.sum("g").cast("long").alias("true_cnt"),
+        F.sum(F.col("p") * F.col("g")).cast("long").alias("cor_cnt"),
+    )
+
+
+# --- A6: multi-label P/R counts per relation (reference metric.py:66-103) ---
+
+
+def q_a6_multilabel_prf_by_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    flags = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max(F.when(F.col("value") > 100.0, 1).otherwise(0)).alias("p"),
+            F.max(F.when(F.col("value") > 120.0, 1).otherwise(0)).alias("g"),
+        )
+    )
+    return flags.groupBy("event_type").agg(
+        F.sum("p").cast("long").alias("pre_cnt"),
+        F.sum("g").cast("long").alias("true_cnt"),
+        F.sum(F.col("p") * F.col("g")).cast("long").alias("cor_cnt"),
+    )
+
+
 # --- full extraction pipeline (mock forwards — rows-only check) ---
 
 
@@ -363,6 +508,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a2_group_by_relation": q_a2_group_by_relation,
         "a4_micro_prf_counts": q_a4_micro_prf_counts,
         "u4_marker_splice": q_u4_marker_splice,
+        "p3_empty_gold_filter": q_p3_empty_gold_filter,
+        "j2_token_locate": q_j2_token_locate,
+        "w3_span_islands": q_w3_span_islands,
+        "w4_suffix_slice": q_w4_suffix_slice,
+        "a5_chunk_prf_counts": q_a5_chunk_prf_counts,
+        "a6_multilabel_prf_by_relation": q_a6_multilabel_prf_by_relation,
         "dedup_exact": q_dedup_exact,
         "text_token_count": q_text_token_count,
         "text_lang_id": q_text_lang_id,
@@ -473,6 +624,62 @@ _DUCK_NGRAM_JACCARD = (
 )
 
 
+# Shared island-decode CTE text for w3/a5 (DuckDB): token stream via zipped
+# unnest, run-grouping via the pos - row_number() trick.
+_DUCK_TOKSTREAM = (
+    "base AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks"
+    "  FROM documents WHERE length(trim(text)) > 0),"
+    " tok AS (SELECT doc_id, unnest(range(len(toks))) AS pos,"
+    "  unnest(toks) AS token FROM base)"
+)
+
+
+def _duck_islands(flag_expr: str) -> str:
+    return (
+        f" flagged AS (SELECT doc_id, pos, token, {flag_expr} AS f FROM tok),"
+        " grps AS (SELECT doc_id, pos, token, f,"
+        "  pos - row_number() OVER (PARTITION BY doc_id, f ORDER BY pos) AS grp"
+        "  FROM flagged)"
+        " SELECT doc_id, min(pos) AS start_pos, count(*) AS n_tokens,"
+        "  string_agg(token, ' ' ORDER BY pos) AS chunk"
+        " FROM grps WHERE f = 1 GROUP BY doc_id, grp"
+    )
+
+
+_DUCK_W3 = (
+    f"WITH {_DUCK_TOKSTREAM}," + _duck_islands("CASE WHEN regexp_matches(token, '^s') THEN 1 ELSE 0 END")
+)
+
+def _duck_chunks(flag_expr: str) -> str:
+    """Island chunks (doc_id, start_pos, chunk) for one flag predicate."""
+    return (
+        "SELECT doc_id, min(pos) AS start_pos,"
+        " string_agg(token, ' ' ORDER BY pos) AS chunk FROM"
+        " (SELECT doc_id, pos, token, f,"
+        "  pos - row_number() OVER (PARTITION BY doc_id, f ORDER BY pos) AS grp"
+        f"  FROM (SELECT doc_id, pos, token, {flag_expr} AS f FROM tok))"
+        " WHERE f = 1 GROUP BY doc_id, grp"
+    )
+
+
+_DUCK_A5 = (
+    f"WITH {_DUCK_TOKSTREAM},"
+    " pred AS ("
+    + _duck_chunks("CASE WHEN length(token) >= 5 THEN 1 ELSE 0 END")
+    + "),"
+    " gold AS ("
+    + _duck_chunks("CASE WHEN regexp_matches(token, '^[st]') THEN 1 ELSE 0 END")
+    + ")"
+    " SELECT sum(p)::BIGINT AS pre_cnt, sum(g)::BIGINT AS true_cnt,"
+    "  sum(p * g)::BIGINT AS cor_cnt FROM ("
+    "  SELECT coalesce(a.p, 0) AS p, coalesce(b.g, 0) AS g FROM"
+    "   (SELECT doc_id, start_pos, chunk, 1 AS p FROM pred) a"
+    "  FULL OUTER JOIN"
+    "   (SELECT doc_id, start_pos, chunk, 1 AS g FROM gold) b"
+    "  USING (doc_id, start_pos, chunk))"
+)
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "p1_lowercase": "SELECT doc_id, lower(text) AS text_lc FROM documents",
@@ -554,6 +761,38 @@ def oracle_sql() -> dict[str, str]:
             "   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank FROM scored)"
             " SELECT query_id, neighbor_id, rank, round(cos_sim, 4) AS cos_sim_r"
             " FROM ranked WHERE rank <= 10"
+        ),
+        "p3_empty_gold_filter": (
+            "SELECT user_id, count(DISTINCT CASE WHEN value > 120.0"
+            " THEN event_type END) AS n_gold FROM events GROUP BY user_id"
+            " HAVING count(DISTINCT CASE WHEN value > 120.0 THEN event_type END) > 0"
+        ),
+        "j2_token_locate": (
+            "WITH base AS (SELECT doc_id,"
+            " regexp_split_to_array(trim(lower(text)), '\\s+') AS toks"
+            " FROM documents WHERE length(trim(text)) > 0)"
+            " SELECT doc_id,"
+            " list_position(toks, toks[-1])::INT AS pos_interactive,"
+            " nullif(list_position(toks[1:len(toks) - 1], toks[-1]), 0)::INT AS pos_ner"
+            " FROM base"
+        ),
+        "w3_span_islands": _DUCK_W3,
+        "w4_suffix_slice": (
+            "SELECT doc_id, array_to_string("
+            " (regexp_split_to_array(trim(text), '\\s+'))"
+            "  [1:greatest(len(regexp_split_to_array(trim(text), '\\s+')) - 2, 0)],"
+            " ' ') AS kept_text"
+            " FROM documents WHERE length(trim(text)) > 0"
+        ),
+        "a5_chunk_prf_counts": _DUCK_A5,
+        "a6_multilabel_prf_by_relation": (
+            "WITH flags AS (SELECT user_id, event_type,"
+            "  max(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS p,"
+            "  max(CASE WHEN value > 120.0 THEN 1 ELSE 0 END) AS g"
+            "  FROM events GROUP BY user_id, event_type)"
+            " SELECT event_type, sum(p)::BIGINT AS pre_cnt,"
+            "  sum(g)::BIGINT AS true_cnt, sum(p * g)::BIGINT AS cor_cnt"
+            " FROM flags GROUP BY event_type"
         ),
         "minhash_verified_pairs": _DUCK_MINHASH_PAIRS,
         "minhash_dedup_keep": _DUCK_MINHASH_KEEP,

@@ -1,0 +1,92 @@
+"""Structured Streaming ingest of transcript turns (SURVEY.md §2.8).
+
+The reference is strictly batch over static splits; this module gives the
+engine a streaming surface for continuous transcript arrival:
+
+- ``read_turn_stream``: file-source stream over a transcript parquet
+  directory (schema pinned — streaming reads cannot infer).
+- ``stream_extract_triples``: the SAME narrow extraction plan as batch
+  (``pipeline.extract_triples``) applied to the stream. Because the plan is
+  stateless and narrow (mapInPandas -> explode chains, zero shuffles), it is
+  trivially streamable with exactly-once file-sink semantics.
+- ``stream_triple_sink``: parquet sink + checkpoint — restart-safe; the
+  checkpoint directory carries source offsets so a killed job resumes
+  without reprocessing (streaming analogue of the batch manifest/anti-join
+  resume in pipeline.materialize).
+- ``windowed_turn_rates``: watermarked tumbling-window per-role turn counts
+  for late-data-tolerant rate monitoring.
+
+Scale notes: at production scale the source would be Kafka/Iceberg CDC
+instead of a file source — the transformation plan is identical. State for
+the windowed agg is bounded by (watermark horizon x roles); the extraction
+itself keeps NO state, so executors scale horizontally with input rate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..pipeline import extract_triples
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), False),
+        T.StructField("text", T.StringType(), False),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampType(), False),
+    ]
+)
+
+
+def read_turn_stream(
+    spark: SparkSession, input_path: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    reader = spark.readStream.schema(TRANSCRIPT_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return reader.parquet(input_path)
+
+
+def stream_extract_triples(turns: DataFrame) -> DataFrame:
+    """Streaming DataFrame of raw triples — identical plan to batch."""
+    return extract_triples(turns)
+
+
+def stream_triple_sink(
+    triples: DataFrame, output_path: str, checkpoint_dir: str, available_now: bool = True
+):
+    """Start the triple stream into a parquet sink with checkpointed offsets.
+
+    ``available_now=True`` drains everything currently in the source then
+    stops (used by tests and backfills); ``False`` runs continuously.
+    """
+    writer = (
+        triples.writeStream.format("parquet")
+        .option("path", output_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_turn_rates(
+    turns: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
+) -> DataFrame:
+    """Tumbling-window per-role turn counts, late data bounded by watermark."""
+    return (
+        turns.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("win"), "role")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "role",
+            "n_turns",
+        )
+    )

@@ -1,0 +1,101 @@
+"""Streaming surface: same-plan parity with batch + watermarked windows.
+
+The extraction plan is stateless/narrow, so the streaming result must be
+exactly the batch result on the same input (multiset equality). The
+windowed aggregation is checked against the equivalent batch groupBy for
+every window the stream emitted (append mode withholds windows the
+watermark has not yet closed — at availableNow drain that is at most the
+final window).
+"""
+
+import os
+
+import pytest
+
+from openue_spark.fixtures import transcripts_spark
+
+
+@pytest.fixture(scope="module")
+def turn_dir(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stream") / "turns")
+    transcripts_spark(spark, 1_000, partitions=4).write.parquet(path)
+    return path
+
+
+def test_stream_extract_matches_batch(spark, turn_dir, tmp_path):
+    from openue_spark.pipeline import extract_triples
+    from openue_spark.streaming import (
+        read_turn_stream,
+        stream_extract_triples,
+        stream_triple_sink,
+    )
+
+    out = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt")
+    q = stream_triple_sink(
+        stream_extract_triples(read_turn_stream(spark, turn_dir)), out, ckpt
+    )
+    assert q.awaitTermination(300), "stream did not drain in time"
+
+    got = spark.read.parquet(out)
+    want = extract_triples(spark.read.parquet(turn_dir))
+    key = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    g = {tuple(r) for r in got.groupBy(key).count().collect()}
+    w = {tuple(r) for r in want.groupBy(key).count().collect()}
+    assert g == w and len(g) > 0
+
+
+def test_stream_resume_is_exactly_once(spark, turn_dir, tmp_path):
+    """Re-running with the same checkpoint must not duplicate output."""
+    from openue_spark.streaming import (
+        read_turn_stream,
+        stream_extract_triples,
+        stream_triple_sink,
+    )
+
+    out = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt")
+    for _ in range(2):
+        q = stream_triple_sink(
+            stream_extract_triples(read_turn_stream(spark, turn_dir)), out, ckpt
+        )
+        assert q.awaitTermination(300)
+    n = spark.read.parquet(out).count()
+    from openue_spark.pipeline import extract_triples
+
+    assert n == extract_triples(spark.read.parquet(turn_dir)).count()
+
+
+def test_windowed_turn_rates_match_batch(spark, turn_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from openue_spark.streaming import read_turn_stream, windowed_turn_rates
+
+    q = (
+        windowed_turn_rates(read_turn_stream(spark, turn_dir))
+        .writeStream.format("memory")
+        .queryName("turn_rates")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    emitted = spark.table("turn_rates").collect()
+
+    batch = (
+        spark.read.parquet(turn_dir)
+        .groupBy(F.window("ts", "5 minutes").alias("win"), "role")
+        .agg(F.count(F.lit(1)).alias("n_turns"))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            "role",
+            "n_turns",
+        )
+        .collect()
+    )
+    batch_map = {(r.win_start, r.win_end, r.role): r.n_turns for r in batch}
+    assert len(emitted) > 0
+    for r in emitted:
+        assert batch_map[(r.win_start, r.win_end, r.role)] == r.n_turns
