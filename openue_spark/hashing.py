@@ -56,6 +56,22 @@ def poly_hash(ids: np.ndarray) -> np.uint64:
     return mix64(acc)[()]
 
 
+def poly_hash_batch(padded_ids: np.ndarray) -> np.ndarray:
+    """Row-wise poly_hash over a zero-padded (n, L) uint64 matrix.
+
+    Bit-identical to per-row `poly_hash` of the unpadded rows: padding with
+    0 is exact because 0 * R^k contributes nothing to the fold.
+    """
+    mat = np.asarray(padded_ids, dtype=np.uint64)
+    if mat.ndim != 2:
+        raise ValueError("poly_hash_batch expects a 2-D padded matrix")
+    n, length = mat.shape
+    if length == 0:
+        return np.full(n, mix64(_FNV)[()], dtype=np.uint64)
+    acc = _FNV + (mat * _POWERS[:length][None, :]).sum(axis=1, dtype=np.uint64)
+    return mix64(acc)
+
+
 def crc32_id(token: str) -> int:
     """Stable 32-bit hash of a token string (used for word ids)."""
     return zlib.crc32(token.encode("utf-8")) & 0xFFFFFFFF

@@ -60,6 +60,42 @@ def seq_probs(input_ids: np.ndarray, num_relations: int = NUM_RELATIONS) -> np.n
     return 1.0 / (1.0 + np.exp(-logits))
 
 
+def seq_probs_batch(hashes: np.ndarray, num_relations: int = NUM_RELATIONS) -> np.ndarray:
+    """Vectorized U1 over a whole Arrow batch: per-row sequence hashes
+    (poly_hash / poly_hash_batch output) -> (n, num_relations) probability
+    matrix. Bit-identical to stacking `seq_probs` row by row — the per-row
+    formula is reproduced with a broadcast instead of a loop (the per-row
+    numpy-call overhead was ~30us/turn, the hot half of the SEQ stage).
+    """
+    h = np.asarray(hashes, dtype=np.uint64)
+    ks = np.arange(num_relations, dtype=np.uint64)
+    z = (mix64(h[:, None] ^ (ks[None, :] * _K_REL + _U64(0x51))) >> _U64(40)).astype(
+        np.float64
+    )
+    z /= float(1 << 24)
+    return 1.0 / (1.0 + np.exp(-(z - _SEQ_CUT) * _SEQ_SCALE))
+
+
+def ner_tags_batch(padded_ids: np.ndarray, rel_ids: np.ndarray) -> np.ndarray:
+    """Vectorized U2 + argmax over a zero-padded (n, L) id matrix.
+
+    Rows beyond their true length get garbage tags — callers slice each row
+    to its W4 bound before decoding, exactly as the per-row path does.
+    Bit-identical to `ner_tags` on the unpadded rows (same integer ops; the
+    per-row sequence hash uses poly_hash_batch, exact under zero padding).
+    """
+    from .hashing import poly_hash_batch
+
+    mat = np.asarray(padded_ids, dtype=np.uint64)
+    n, length = mat.shape
+    h = poly_hash_batch(mat)
+    pos = np.arange(length, dtype=np.uint64)[None, :]
+    rel = np.asarray(rel_ids, dtype=np.uint64)[:, None]
+    u = mix64(mat * _K_TOK ^ (pos * _K_POS) ^ (rel * _K_REL) ^ (h[:, None] * _K_CTX))
+    u = (u >> _U64(40)).astype(np.int64) % 1000
+    return np.searchsorted(_NER_CUTS, u, side="right").astype(np.int64)
+
+
 def ner_tags(spliced_ids: np.ndarray, rel_id: int) -> np.ndarray:
     """Mock U2 + argmax (model.py:319-321): spliced ids -> tag id per token.
 

@@ -52,7 +52,8 @@ from ..config import (
     SEP_ID,
     SIGMOID_THRESHOLD,
 )
-from ..mock_models import ner_tags, seq_probs
+from ..hashing import poly_hash_batch
+from ..mock_models import ner_tags_batch, seq_probs_batch
 from ..oracle import bio_decode_spans, span_text
 from ..tokenizer import encode
 
@@ -81,23 +82,35 @@ def _tokenize_and_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
     """P1+P2+U1 in one Arrow pass: text -> (ids, words, per-relation probs).
 
     Iterator form so per-worker init (real-model load, were weights real)
-    happens once, not per batch.
+    happens once, not per batch. The model forward is batched across the
+    whole Arrow batch (seq_probs_batch over zero-padded ids) — per-row
+    numpy calls cost ~30us/turn in call overhead alone, the batched matrix
+    form ~1us/turn; with real weights this is exactly the dynamic-batching
+    seam (pad to batch max, one forward per Arrow batch).
     """
     max_len = MAX_SEQ_LENGTH - 2  # interactive tokenize bound (utils.py:579-584)
     for pdf in batches:
-        ids_col, words_col, probs_col = [], [], []
+        n = len(pdf)
+        ids_col: list[list[int]] = []
+        words_col: list[list[str]] = []
+        max_l = 0
         for text in pdf["text"].to_numpy():
             ids, words = encode(text, max_len)
             ids_col.append(ids)
             words_col.append(words)
-            probs_col.append(seq_probs(np.asarray(ids, dtype=np.int64)))
+            if len(ids) > max_l:
+                max_l = len(ids)
+        padded = np.zeros((n, max_l), dtype=np.uint64)
+        for i, ids in enumerate(ids_col):
+            padded[i, : len(ids)] = ids
+        probs = seq_probs_batch(poly_hash_batch(padded))
         yield pd.DataFrame(
             {
                 "conv_id": pdf["conv_id"].to_numpy(),
                 "turn_idx": pdf["turn_idx"].to_numpy(),
                 "ids": ids_col,
                 "words": words_col,
-                "probs": probs_col,
+                "probs": list(probs),
             }
         )
 
@@ -114,11 +127,18 @@ def _ner_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         spliced_arr = pdf["spliced"].to_numpy()
         words_arr = pdf["words"].to_numpy()
         rel_arr = pdf["rel_id"].to_numpy()
-        for i in range(len(pdf)):
-            spliced = np.asarray(spliced_arr[i], dtype=np.int64)
-            rel_pos = spliced.size - 2  # true token count before the splice
-            tags = ner_tags(spliced, int(rel_arr[i]))
-            tag_strs = [NER_LABELS[t] for t in tags[: rel_pos - 1]]  # W4 slice
+        n = len(pdf)
+        max_l = max((len(s) for s in spliced_arr), default=0)
+        padded = np.zeros((n, max_l), dtype=np.uint64)
+        for i in range(n):
+            row = spliced_arr[i]
+            padded[i, : len(row)] = row
+        # U2+A7 batched across the Arrow batch (one matrix forward); padding
+        # tags are garbage but every row is sliced to its W4 bound below.
+        tags_mat = ner_tags_batch(padded, rel_arr)
+        for i in range(n):
+            rel_pos = len(spliced_arr[i]) - 2  # true token count before the splice
+            tag_strs = [NER_LABELS[t] for t in tags_mat[i, : rel_pos - 1]]  # W4 slice
             subjects, objects = bio_decode_spans(tag_strs)
             words = list(words_arr[i])
             subj_col.append([span_text(s, words) for s in subjects])

@@ -1,0 +1,128 @@
+"""Scaling-efficiency evidence: same job, N vs 4N parallelism (north rule).
+
+No real cluster exists in this sandbox, so "N vs 4N executors" is evidenced
+by running the identical extraction job at two local[] parallelism levels on
+the same input and reporting throughput at both plus efficiency
+(= (thr_4N / thr_N) / 4).
+
+Methodology (why each point is CPU-PINNED with taskset):
+- "N executors vs 4N executors" is a HARDWARE boundary: 4N executors bring
+  4x the cores/LLC/memory bandwidth. A bare local[K] run does not emulate
+  that boundary faithfully, because Spark's task-slot count does not bound
+  CPU use — the extraction stage chains two mapInPandas runners per task,
+  so local[K] drives up to ~2K Python workers plus JVM threads. Measured on
+  this 32-core host: local[2] burns ~5 cores, local[8] ~14, local[32]
+  oversubscribes ~2x and per-core throughput collapses. Slot-count ratios
+  therefore under- or over-state true hardware scaling.
+- Fix: pin each measurement point to EXACTLY its core budget
+  (`taskset -c 0..N-1` around the whole JVM+workers tree), i.e. "one
+  executor with N cores" vs "4x the cores". Any intra-point
+  oversubscription then applies identically at both points.
+- Each point runs in a FRESH pinned JVM (subprocess), does one full untimed
+  pass (spawns + warms every Python worker, fills the page cache), then
+  times `iters` full passes and keeps the best throughput.
+
+Usage: python scripts/scaling.py [--n 2] [--turns 2400000] [--iters 2]
+Prints one JSON line; also echoes per-point results as they land.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_POINT_SRC = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+from openue_spark.session import get_spark
+from openue_spark.pipeline import extract_triples
+
+cores = {cores}
+spark = get_spark(
+    app_name=f"scaling_{{cores}}",
+    master=f"local[{{cores}}]",
+    extra_conf={{"spark.ui.showConsoleProgress": "false"}},
+)
+spark.sparkContext.setLogLevel("ERROR")
+df = spark.read.parquet({path!r}).repartition(4 * cores)
+n_turns = df.count()
+extract_triples(df).count()  # untimed full pass: warm workers + page cache
+best = None
+for _ in range({iters}):
+    t0 = time.time()
+    n_triples = extract_triples(df).count()
+    dt = time.time() - t0
+    if best is None or dt < best[0]:
+        best = (dt, n_triples)
+print(f"POINT {{cores}} {{best[0]:.3f}} {{best[1]}} {{n_turns}}", flush=True)
+spark.stop()
+"""
+
+
+def ensure_input(n_turns: int) -> str:
+    path = os.path.join(REPO, ".cache", f"transcripts_scaling_{n_turns}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from openue_spark.fixtures import transcripts_spark
+        from openue_spark.session import get_spark
+
+        spark = get_spark(app_name="scaling_gen", master="local[32]")
+        spark.sparkContext.setLogLevel("ERROR")
+        transcripts_spark(spark, n_turns).write.mode("overwrite").parquet(path)
+        spark.stop()
+    return path
+
+
+def run_point(cores: int, path: str, iters: int) -> dict:
+    src = _POINT_SRC.format(repo=REPO, cores=cores, path=path, iters=iters)
+    cmd = [sys.executable, "-c", src]
+    if shutil.which("taskset"):
+        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("POINT")][0]
+    _, c, wall, n_triples, n_turns = line.split()
+    wall = float(wall)
+    return {
+        "cores": int(c),
+        "wall_sec": wall,
+        "triples": int(n_triples),
+        "turns": int(n_turns),
+        "triples_per_sec": round(int(n_triples) / wall, 1),
+        "turns_per_sec": round(int(n_turns) / wall, 1),
+    }
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n", type=int, default=2, help="N; the other point is 4N")
+    ap.add_argument("--turns", type=int, default=2_400_000)
+    ap.add_argument("--iters", type=int, default=2)
+    args = ap.parse_args()
+
+    sys.path.insert(0, REPO)
+    path = ensure_input(args.turns)
+    points = []
+    for cores in (args.n, 4 * args.n):
+        pt = run_point(cores, path, args.iters)
+        points.append(pt)
+        print(f"local[{pt['cores']}]: {pt['wall_sec']}s "
+              f"{pt['triples_per_sec']} triples/s", file=sys.stderr)
+
+    eff = round((points[1]["triples_per_sec"] / points[0]["triples_per_sec"]) / 4, 3)
+    print(json.dumps({
+        "metric": "extraction throughput scaling N->4N (taskset-pinned cores, executor proxy)",
+        "n_cores": args.n,
+        "points": points,
+        "scaling_efficiency": eff,
+        "pass_threshold_0.8": eff >= 0.8,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -122,3 +122,39 @@ def test_oracle_fallback_selects_exactly_one_when_none_pass():
 def test_oracle_deterministic():
     t = "ent001 founded ent002 in ent003 and ent004 ."
     assert extract_turn(t) == extract_turn(t)
+
+
+# --- batched mock forwards must be bit-identical to the per-row forms ---
+
+
+def test_batch_forwards_bit_identical():
+    import numpy as np
+
+    from openue_spark.hashing import poly_hash, poly_hash_batch
+    from openue_spark.mock_models import (
+        ner_tags,
+        ner_tags_batch,
+        seq_probs,
+        seq_probs_batch,
+    )
+
+    rng = np.random.default_rng(7)
+    rows = [rng.integers(1, 2**31, size=int(n)).astype(np.uint64) for n in rng.integers(1, 60, size=50)]
+    rows.append(np.array([], dtype=np.uint64))
+    max_l = max(r.size for r in rows)
+    padded = np.zeros((len(rows), max_l), dtype=np.uint64)
+    for i, r in enumerate(rows):
+        padded[i, : r.size] = r
+
+    hb = poly_hash_batch(padded)
+    assert all(hb[i] == poly_hash(r) for i, r in enumerate(rows))
+
+    pb = seq_probs_batch(hb)
+    for i, r in enumerate(rows):
+        assert np.array_equal(pb[i], seq_probs(r))
+
+    rels = rng.integers(0, 24, size=len(rows))
+    tb = ner_tags_batch(padded, rels)
+    for i, r in enumerate(rows):
+        if r.size:
+            assert np.array_equal(tb[i, : r.size], ner_tags(r, int(rels[i])))

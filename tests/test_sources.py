@@ -1,0 +1,77 @@
+"""Sources: JSONL corpus scan (S1), relation dim (S2), transcript scan."""
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+
+def _write_jsonl(path, records):
+    with open(path, "w", encoding="utf-8") as f:
+        for r in records:
+            f.write(json.dumps(r, ensure_ascii=False) + "\n")
+
+
+def test_read_jsonl_corpus_stable_ids_and_gold(spark, tmp_path):
+    from openue_spark.sources import nonempty_gold, read_jsonl_corpus
+
+    records = [
+        {"text": "alpha beta", "spo_list": [
+            {"subject": "alpha", "predicate": "works_at", "object": "beta"}]},
+        {"text": "no gold here", "spo_list": []},
+        {"text": "gamma", "spo_list": [
+            {"subject": "g", "predicate": "born_in", "object": "x"},
+            {"subject": "g2", "predicate": "born_in", "object": "y"}]},
+    ]
+    p = str(tmp_path / "train.json")
+    _write_jsonl(p, records)
+
+    corpus = read_jsonl_corpus(spark, p)
+    rows = corpus.orderBy("text_id").collect()
+    assert [r.text_id for r in rows] == [0, 1, 2]
+    assert {r.text for r in rows} == {r["text"] for r in records}
+    by_text = {r.text: r for r in rows}
+    assert len(by_text["gamma"].gold) == 2
+    assert by_text["gamma"].gold[0].predicate == "born_in"
+    assert len(by_text["no gold here"].gold) == 0
+
+    kept = nonempty_gold(corpus)
+    assert kept.count() == 2
+    assert {r.text for r in kept.collect()} == {"alpha beta", "gamma"}
+
+
+def test_relations_dim_and_rel2id_roundtrip(spark, tmp_path):
+    from openue_spark.config import NUM_RELATIONS, PREDICATES
+    from openue_spark.sources import (
+        broadcast_rel2id,
+        read_rel2id_json,
+        relations_dim,
+        write_rel2id_json,
+    )
+
+    dim = relations_dim(spark)
+    assert dim.count() == NUM_RELATIONS
+    assert dim.where(F.col("rel_id") == 0).collect()[0].pred == PREDICATES[0]
+
+    p = str(tmp_path / "rel2id.json")
+    write_rel2id_json(p)
+    back = read_rel2id_json(spark, p)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, dim.collect()))
+
+    b = broadcast_rel2id(spark)
+    assert b.value[PREDICATES[3]] == 3
+
+
+def test_read_transcripts_schema_and_stable_order(spark, tmp_path):
+    from openue_spark.fixtures import transcripts_spark
+    from openue_spark.sources import read_transcripts, with_stable_text_id
+
+    path = str(tmp_path / "turns")
+    transcripts_spark(spark, 500, partitions=3).write.parquet(path)
+    t = read_transcripts(spark, path)
+    assert [f.name for f in t.schema] == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+
+    ordered = with_stable_text_id(t).orderBy("text_id").collect()
+    keys = [(r.conv_id, r.turn_idx) for r in ordered]
+    assert keys == sorted(keys)
+    assert [r.text_id for r in ordered] == list(range(len(ordered)))
