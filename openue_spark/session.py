@@ -14,6 +14,22 @@ import os
 from pyspark.sql import SparkSession
 
 
+def tuning_conf(cores: int = 32, shuffle_partitions: int | None = None) -> dict[str, str]:
+    """The scale-oriented conf set, reusable by any entry point (tests,
+    bench, and the spark-submit job — a vanilla session's 200 static shuffle
+    partitions with AQE off makes the iterative linking stage ~4x slower at
+    sandbox scale and would be far worse on a cluster)."""
+    return {
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or max(2 * cores, 8)),
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.execution.arrow.maxRecordsPerBatch": "4096",
+        "spark.sql.files.maxPartitionBytes": "128m",
+    }
+
+
 def get_spark(
     app_name: str = "openue_spark",
     master: str | None = None,
@@ -24,19 +40,11 @@ def get_spark(
     cores = 32
     if master.startswith("local[") and master[6:-1].isdigit():
         cores = int(master[6:-1])
-    builder = (
-        SparkSession.builder.appName(app_name)
-        .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or max(2 * cores, 8)))
-        .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "4096")
-        .config("spark.sql.files.maxPartitionBytes", "128m")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
-        .config("spark.ui.enabled", "false")
-    )
-    for k, v in (extra_conf or {}).items():
+    builder = SparkSession.builder.appName(app_name).master(master)
+    conf = tuning_conf(cores, shuffle_partitions)
+    conf["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+    conf["spark.ui.enabled"] = "false"
+    conf.update(extra_conf or {})
+    for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
