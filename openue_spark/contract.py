@@ -472,6 +472,42 @@ def q_a6_multilabel_prf_by_relation(spark: SparkSession, sf_dir: str) -> DataFra
     )
 
 
+# --- relational breadth at bench scale (lineitem/orders are the largest
+#     driver tables; these exercise the shuffle-agg and join paths the
+#     extraction stand-ins cover only at events-table size). Money sums are
+#     cast to decimal so Spark/DuckDB agree bit-for-bit (float sums are
+#     addition-order-dependent). ---
+
+
+def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1-shaped partial-aggregatable scan-agg over the largest table
+    (map-side combine -> one shuffle on a 4-ish-key group space)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("count_order"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+        )
+    )
+
+
+def q_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders x customer join (AQE broadcasts the smaller build side) then
+    a low-cardinality rollup — the canonical fact x dim revenue query."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+    )
+
+
 # --- full extraction pipeline (mock forwards — rows-only check) ---
 
 
@@ -514,6 +550,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_suffix_slice": q_w4_suffix_slice,
         "a5_chunk_prf_counts": q_a5_chunk_prf_counts,
         "a6_multilabel_prf_by_relation": q_a6_multilabel_prf_by_relation,
+        "agg_pricing_summary": q_agg_pricing_summary,
+        "join_segment_revenue": q_join_segment_revenue,
         "dedup_exact": q_dedup_exact,
         "text_token_count": q_text_token_count,
         "text_lang_id": q_text_lang_id,
@@ -793,6 +831,18 @@ def oracle_sql() -> dict[str, str]:
             " SELECT event_type, sum(p)::BIGINT AS pre_cnt,"
             "  sum(g)::BIGINT AS true_cnt, sum(p * g)::BIGINT AS cor_cnt"
             " FROM flags GROUP BY event_type"
+        ),
+        "agg_pricing_summary": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS count_order,"
+            " sum(cast(l_quantity AS decimal(18,2))) AS sum_qty,"
+            " sum(cast(l_extendedprice AS decimal(18,2))) AS sum_base_price"
+            " FROM lineitem GROUP BY l_returnflag, l_linestatus"
+        ),
+        "join_segment_revenue": (
+            "SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,"
+            " sum(cast(o_totalprice AS decimal(18,2))) AS revenue"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " GROUP BY c_mktsegment, o_orderstatus"
         ),
         "minhash_verified_pairs": _DUCK_MINHASH_PAIRS,
         "minhash_dedup_keep": _DUCK_MINHASH_KEEP,

@@ -38,15 +38,19 @@ MANIFEST_SCHEMA = (
 def dedup_triples_salted(raw_triples: DataFrame, salt_buckets: int = 16) -> DataFrame:
     """(subj, pred, obj) dedup + support counts via explicit two-phase
     salted aggregation: phase 1 aggregates within (salt, key) — spreading a
-    hot key over `salt_buckets` reducers — phase 2 merges the partials."""
+    hot key over `salt_buckets` reducers — phase 2 merges the partials.
+
+    Carries `first_conv` (min conv_id) as provenance: the deterministic
+    representative conversation, and the basis of the table's conv bucket.
+    """
     salted = raw_triples.withColumn(
         "salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_buckets))
     )
     partial = salted.groupBy("salt", "subj", "pred", "obj").agg(
-        F.count(F.lit(1)).alias("cnt")
+        F.count(F.lit(1)).alias("cnt"), F.min("conv_id").alias("first_conv")
     )
     return partial.groupBy("subj", "pred", "obj").agg(
-        F.sum("cnt").alias("support")
+        F.sum("cnt").alias("support"), F.min("first_conv").alias("first_conv")
     )
 
 
@@ -145,15 +149,19 @@ def run_extraction_resumable(
 
 
 def write_triple_table(
-    triples: DataFrame, path: str, salt_buckets: int = 16
+    triples: DataFrame, path: str, salt_buckets: int = 16, conv_buckets: int = 8
 ) -> None:
-    """Final deduplicated graph table partitioned by predicate (hive-style
-    dirs here; bucket(conv_id) ordering preserved via in-file sort)."""
-    deduped = dedup_triples_salted(triples, salt_buckets)
+    """Final deduplicated graph table partitioned by (pred, conv_bucket)
+    (north-rule layout: predicate + conv_id bucket; hive-style dirs here,
+    identical layout under Iceberg `PARTITIONED BY (pred, bucket(N,
+    first_conv))`). In-file order is (subj, obj) for scan locality."""
+    deduped = dedup_triples_salted(triples, salt_buckets).withColumn(
+        "conv_bucket", F.pmod(F.xxhash64("first_conv"), F.lit(conv_buckets)).cast("int")
+    )
     (
-        deduped.repartition("pred")
+        deduped.repartition("pred", "conv_bucket")
         .sortWithinPartitions("subj", "obj")
         .write.mode("overwrite")
-        .partitionBy("pred")
+        .partitionBy("pred", "conv_bucket")
         .parquet(path)
     )

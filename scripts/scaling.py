@@ -82,7 +82,11 @@ def run_point(cores: int, path: str, iters: int) -> dict:
     src = _POINT_SRC.format(repo=REPO, cores=cores, path=path, iters=iters)
     cmd = [sys.executable, "-c", src]
     if shutil.which("taskset"):
-        cmd = ["taskset", "-c", f"0-{cores - 1}"] + cmd
+        # Pin to the TOP of the core range: OS housekeeping and the calling
+        # process gravitate to low core ids, which perturbs small-N points.
+        total = os.cpu_count() or cores
+        start = max(0, total - cores)
+        cmd = ["taskset", "-c", f"{start}-{start + cores - 1}"] + cmd
     out = subprocess.run(cmd, capture_output=True, text=True, check=True)
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("POINT")][0]
     _, c, wall, n_triples, n_turns = line.split()

@@ -79,9 +79,11 @@ def test_write_triple_table_partitioned_by_pred(spark, transcripts):
         write_triple_table(raw, f"{tmp}/graph")
         dirs = {d for d in os.listdir(f"{tmp}/graph") if d.startswith("pred=")}
         assert len(dirs) > 1  # hive partitioning by predicate materialized
+        sub = {d for d in os.listdir(f"{tmp}/graph/{sorted(dirs)[0]}") if d.startswith("conv_bucket=")}
+        assert len(sub) >= 1  # second-level conv bucket materialized
         back = spark.read.parquet(f"{tmp}/graph")
         assert back.where(F.col("support") < 1).count() == 0
-        assert {"subj", "obj", "support", "pred"} <= set(back.columns)
+        assert {"subj", "obj", "support", "pred", "conv_bucket", "first_conv"} <= set(back.columns)
         # dedup really happened
         assert back.groupBy("subj", "pred", "obj").count().where("count > 1").count() == 0
     finally:

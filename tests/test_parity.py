@@ -57,3 +57,48 @@ def test_pipeline_partitioning_invariance(spark, fixture_turns):
     c1 = Counter(tuple(r) for r in extract_triples(df1).collect())
     c7 = Counter(tuple(r) for r in extract_triples(df7).collect())
     assert c1 == c7
+
+
+def test_micro_prf_module_is_exact_on_parity(spark, fixture_turns):
+    """Distributed micro P/R/F1 (pipeline.evaluate) vs the oracle's golden
+    triples must be a perfect 1.0 — same assertion as the set-based parity
+    test, via the reusable one-shuffle evaluation op."""
+    import dataclasses
+
+    from openue_spark.oracle import extract_corpus
+    from openue_spark.pipeline import extract_triples, micro_prf
+
+    rows = list(zip(fixture_turns["conv_id"], fixture_turns["turn_idx"].astype(int), fixture_turns["text"]))
+    sdf = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    predicted = extract_triples(sdf)
+    golden = spark.createDataFrame(
+        [dataclasses.astuple(t) for t in extract_corpus(rows)],
+        "conv_id string, turn_idx int, subj string, rel_id int, pred string, obj string",
+    )
+    m = micro_prf(predicted, golden)
+    assert m["precision"] == 1.0 and m["recall"] == 1.0 and m["f1"] == 1.0
+    assert m["pre_cnt"] == m["true_cnt"] == m["cor_cnt"] > 0
+
+
+def test_per_predicate_prf_sums_to_micro(spark, fixture_turns):
+    import dataclasses
+
+    from pyspark.sql import functions as F
+
+    from openue_spark.oracle import extract_corpus
+    from openue_spark.pipeline import extract_triples, micro_prf, per_predicate_prf
+
+    rows = list(zip(fixture_turns["conv_id"], fixture_turns["turn_idx"].astype(int), fixture_turns["text"]))
+    sdf = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    predicted = extract_triples(sdf)
+    golden = spark.createDataFrame(
+        [dataclasses.astuple(t) for t in extract_corpus(rows)],
+        "conv_id string, turn_idx int, subj string, rel_id int, pred string, obj string",
+    )
+    per_pred = per_predicate_prf(predicted, golden)
+    tot = per_pred.agg(
+        F.sum("pre_cnt").alias("p"), F.sum("true_cnt").alias("t"), F.sum("cor_cnt").alias("c")
+    ).collect()[0]
+    m = micro_prf(predicted, golden)
+    assert (int(tot.p), int(tot.t), int(tot.c)) == (m["pre_cnt"], m["true_cnt"], m["cor_cnt"])
+    assert per_pred.where((F.col("f1") < 0) | (F.col("f1") > 1)).count() == 0
