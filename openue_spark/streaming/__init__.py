@@ -75,6 +75,65 @@ def stream_triple_sink(
     return writer.start()
 
 
+_DEDUP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("subj", T.StringType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("obj", T.StringType()),
+        T.StructField("support", T.LongType()),
+        T.StructField("new_in_batch", T.LongType()),
+    ]
+)
+
+_DEDUP_STATE_SCHEMA = T.StructType([T.StructField("support", T.LongType())])
+
+
+def _dedup_state_fn(key, pdf_iter, state):
+    """Per-(subj, pred, obj) running support count across micro-batches.
+
+    State is one long; each micro-batch emits the key's updated total plus
+    how many duplicates this batch contributed. Memory per key is constant,
+    so state size is bounded by the number of DISTINCT triples — the same
+    cardinality the batch dedup table holds.
+    """
+    seen = int(state.get[0]) if state.exists else 0
+    batch = 0
+    for pdf in pdf_iter:
+        batch += len(pdf)
+    state.update((seen + batch,))
+    import pandas as pd  # local import: runs on executors
+
+    yield pd.DataFrame(
+        {
+            "subj": [key[0]],
+            "pred": [key[1]],
+            "obj": [key[2]],
+            "support": [seen + batch],
+            "new_in_batch": [batch],
+        }
+    )
+
+
+def stateful_triple_dedup(triples: DataFrame) -> DataFrame:
+    """Custom stateful operator: incremental (subj, pred, obj) dedup.
+
+    The batch engine dedups with a groupBy (pipeline.triple_table); the
+    streaming equivalent keeps a per-key running support in Spark state via
+    ``applyInPandasWithState`` and emits updated totals every micro-batch —
+    the streaming analogue of the salted dedup table, updatable forever
+    without reprocessing history. Use outputMode("update") on the sink.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return triples.groupBy("subj", "pred", "obj").applyInPandasWithState(
+        _dedup_state_fn,
+        outputStructType=_DEDUP_OUT_SCHEMA,
+        stateStructType=_DEDUP_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def windowed_turn_rates(
     turns: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
 ) -> DataFrame:

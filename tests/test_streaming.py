@@ -99,3 +99,60 @@ def test_windowed_turn_rates_match_batch(spark, turn_dir, tmp_path):
     assert len(emitted) > 0
     for r in emitted:
         assert batch_map[(r.win_start, r.win_end, r.role)] == r.n_turns
+
+
+def test_stateful_triple_dedup_accumulates_across_microbatches(spark, tmp_path):
+    """Multiple micro-batches (maxFilesPerTrigger=1 over several files) must
+    accumulate per-key state; the final update per key equals the batch
+    dedup support."""
+    from pyspark.sql import functions as F
+
+    from openue_spark.fixtures import transcripts_spark
+    from openue_spark.pipeline import extract_triples
+    from openue_spark.streaming import (
+        read_turn_stream,
+        stateful_triple_dedup,
+        stream_extract_triples,
+    )
+
+    turn_dir = str(tmp_path / "turns")
+    # the SAME turns land twice as separate files => with maxFilesPerTrigger=1
+    # every key is seen again in a later micro-batch, exercising state reuse
+    turns = transcripts_spark(spark, 600, partitions=1).coalesce(1)
+    turns.write.parquet(turn_dir)
+    turns.write.mode("append").parquet(turn_dir)
+
+    q = (
+        stateful_triple_dedup(
+            stream_extract_triples(read_turn_stream(spark, turn_dir, max_files_per_trigger=1))
+        )
+        .writeStream.format("memory")
+        .queryName("dedup_state")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    # last emitted update per key == cumulative support
+    updates = spark.table("dedup_state")
+    final = (
+        updates.groupBy("subj", "pred", "obj")
+        .agg(F.max("support").alias("support"), F.sum("new_in_batch").alias("total_new"))
+    )
+    got = {(r.subj, r.pred, r.obj): (r.support, r.total_new) for r in final.collect()}
+
+    want = {
+        (r.subj, r.pred, r.obj): r.support
+        for r in extract_triples(spark.read.parquet(turn_dir))
+        .groupBy("subj", "pred", "obj")
+        .agg(F.count(F.lit(1)).alias("support"))
+        .collect()
+    }
+    assert len(got) == len(want) > 0
+    for k, (support, total_new) in got.items():
+        assert want[k] == support == total_new
+    # statefulness actually exercised: some key was updated in more than one
+    # micro-batch (maxFilesPerTrigger=1 over 3 files => 3 batches)
+    assert updates.count() > final.count()
