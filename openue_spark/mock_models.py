@@ -46,6 +46,25 @@ _SEQ_SCALE = 8.0
 _NER_CUTS = np.array([720, 790, 840, 910, 960, 980, 990, 1000], dtype=np.int64)
 
 
+class MockWeights:
+    """The deterministic scorer's parameter bundle — the stand-in for real
+    model weights, shipped to executors via ``sc.broadcast`` exactly the way
+    a real BERT state_dict would be (north rule: broadcast model weights).
+
+    Plain ndarray/scalars so pickling is cheap; `default()` reproduces the
+    module constants, keeping every existing result bit-identical.
+    """
+
+    def __init__(self, seq_cut: float, seq_scale: float, ner_cuts: np.ndarray):
+        self.seq_cut = float(seq_cut)
+        self.seq_scale = float(seq_scale)
+        self.ner_cuts = np.asarray(ner_cuts, dtype=np.int64)
+
+    @staticmethod
+    def default() -> "MockWeights":
+        return MockWeights(_SEQ_CUT, _SEQ_SCALE, _NER_CUTS)
+
+
 def seq_probs(input_ids: np.ndarray, num_relations: int = NUM_RELATIONS) -> np.ndarray:
     """Mock U1: sentence token ids -> per-relation sigmoid probability.
 
@@ -60,23 +79,32 @@ def seq_probs(input_ids: np.ndarray, num_relations: int = NUM_RELATIONS) -> np.n
     return 1.0 / (1.0 + np.exp(-logits))
 
 
-def seq_probs_batch(hashes: np.ndarray, num_relations: int = NUM_RELATIONS) -> np.ndarray:
+def seq_probs_batch(
+    hashes: np.ndarray,
+    num_relations: int = NUM_RELATIONS,
+    weights: MockWeights | None = None,
+) -> np.ndarray:
     """Vectorized U1 over a whole Arrow batch: per-row sequence hashes
     (poly_hash / poly_hash_batch output) -> (n, num_relations) probability
     matrix. Bit-identical to stacking `seq_probs` row by row — the per-row
     formula is reproduced with a broadcast instead of a loop (the per-row
     numpy-call overhead was ~30us/turn, the hot half of the SEQ stage).
     """
+    w = weights or MockWeights.default()
     h = np.asarray(hashes, dtype=np.uint64)
     ks = np.arange(num_relations, dtype=np.uint64)
     z = (mix64(h[:, None] ^ (ks[None, :] * _K_REL + _U64(0x51))) >> _U64(40)).astype(
         np.float64
     )
     z /= float(1 << 24)
-    return 1.0 / (1.0 + np.exp(-(z - _SEQ_CUT) * _SEQ_SCALE))
+    return 1.0 / (1.0 + np.exp(-(z - w.seq_cut) * w.seq_scale))
 
 
-def ner_tags_batch(padded_ids: np.ndarray, rel_ids: np.ndarray) -> np.ndarray:
+def ner_tags_batch(
+    padded_ids: np.ndarray,
+    rel_ids: np.ndarray,
+    weights: MockWeights | None = None,
+) -> np.ndarray:
     """Vectorized U2 + argmax over a zero-padded (n, L) id matrix.
 
     Rows beyond their true length get garbage tags — callers slice each row
@@ -86,6 +114,7 @@ def ner_tags_batch(padded_ids: np.ndarray, rel_ids: np.ndarray) -> np.ndarray:
     """
     from .hashing import poly_hash_batch
 
+    w = weights or MockWeights.default()
     mat = np.asarray(padded_ids, dtype=np.uint64)
     n, length = mat.shape
     h = poly_hash_batch(mat)
@@ -93,7 +122,7 @@ def ner_tags_batch(padded_ids: np.ndarray, rel_ids: np.ndarray) -> np.ndarray:
     rel = np.asarray(rel_ids, dtype=np.uint64)[:, None]
     u = mix64(mat * _K_TOK ^ (pos * _K_POS) ^ (rel * _K_REL) ^ (h[:, None] * _K_CTX))
     u = (u >> _U64(40)).astype(np.int64) % 1000
-    return np.searchsorted(_NER_CUTS, u, side="right").astype(np.int64)
+    return np.searchsorted(w.ner_cuts, u, side="right").astype(np.int64)
 
 
 def ner_tags(spliced_ids: np.ndarray, rel_id: int) -> np.ndarray:

@@ -78,50 +78,69 @@ _DECODED_SCHEMA = T.StructType(
 )
 
 
-def _tokenize_and_score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _tokenize_and_score_fn(weights_bc=None):
     """P1+P2+U1 in one Arrow pass: text -> (ids, words, per-relation probs).
 
-    Iterator form so per-worker init (real-model load, were weights real)
-    happens once, not per batch. The model forward is batched across the
-    whole Arrow batch (seq_probs_batch over zero-padded ids) — per-row
-    numpy calls cost ~30us/turn in call overhead alone, the batched matrix
-    form ~1us/turn; with real weights this is exactly the dynamic-batching
-    seam (pad to batch max, one forward per Arrow batch).
+    Iterator form so per-worker init happens once, not per batch: the
+    optional `weights_bc` is an ``sc.broadcast(MockWeights)`` fetched via
+    `.value` inside the generator — one deserialize per Python worker
+    process (pyspark Broadcast caches the value), exactly the seam real
+    BERT weights would use. The model forward is batched across the whole
+    Arrow batch (seq_probs_batch over zero-padded ids) — per-row numpy
+    calls cost ~30us/turn in call overhead alone, the batched matrix form
+    ~1us/turn; pad-to-batch-max is the dynamic-batching policy.
     """
-    max_len = MAX_SEQ_LENGTH - 2  # interactive tokenize bound (utils.py:579-584)
-    for pdf in batches:
-        n = len(pdf)
-        ids_col: list[list[int]] = []
-        words_col: list[list[str]] = []
-        max_l = 0
-        for text in pdf["text"].to_numpy():
-            ids, words = encode(text, max_len)
-            ids_col.append(ids)
-            words_col.append(words)
-            if len(ids) > max_l:
-                max_l = len(ids)
-        padded = np.zeros((n, max_l), dtype=np.uint64)
-        for i, ids in enumerate(ids_col):
-            padded[i, : len(ids)] = ids
-        probs = seq_probs_batch(poly_hash_batch(padded))
-        yield pd.DataFrame(
-            {
-                "conv_id": pdf["conv_id"].to_numpy(),
-                "turn_idx": pdf["turn_idx"].to_numpy(),
-                "ids": ids_col,
-                "words": words_col,
-                "probs": list(probs),
-            }
-        )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = weights_bc.value if weights_bc is not None else None
+        max_len = MAX_SEQ_LENGTH - 2  # interactive tokenize bound (utils.py:579-584)
+        for pdf in batches:
+            n = len(pdf)
+            ids_col: list[list[int]] = []
+            words_col: list[list[str]] = []
+            max_l = 0
+            for text in pdf["text"].to_numpy():
+                ids, words = encode(text, max_len)
+                ids_col.append(ids)
+                words_col.append(words)
+                if len(ids) > max_l:
+                    max_l = len(ids)
+            padded = np.zeros((n, max_l), dtype=np.uint64)
+            for i, ids in enumerate(ids_col):
+                padded[i, : len(ids)] = ids
+            probs = seq_probs_batch(poly_hash_batch(padded), weights=weights)
+            yield pd.DataFrame(
+                {
+                    "conv_id": pdf["conv_id"].to_numpy(),
+                    "turn_idx": pdf["turn_idx"].to_numpy(),
+                    "ids": ids_col,
+                    "words": words_col,
+                    "probs": list(probs),
+                }
+            )
+
+    return gen
 
 
-def _ner_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _ner_decode_fn(weights_bc=None):
     """U2+A7+W4+W3 in one Arrow pass over the fanned-out (turn, relation) rows.
 
     Consumes the *spliced* sequence built by column ops upstream, so any
     splice defect changes every mock tag (poly_hash of the full sequence)
-    and breaks parity — deliberate test power.
+    and breaks parity — deliberate test power. `weights_bc` as in
+    `_tokenize_and_score_fn`.
     """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = weights_bc.value if weights_bc is not None else None
+        yield from _ner_decode_batches(batches, weights)
+
+    return gen
+
+
+def _ner_decode_batches(
+    batches: Iterator[pd.DataFrame], weights
+) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         subj_col, obj_col = [], []
         spliced_arr = pdf["spliced"].to_numpy()
@@ -135,7 +154,7 @@ def _ner_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             padded[i, : len(row)] = row
         # U2+A7 batched across the Arrow batch (one matrix forward); padding
         # tags are garbage but every row is sliced to its W4 bound below.
-        tags_mat = ner_tags_batch(padded, rel_arr)
+        tags_mat = ner_tags_batch(padded, rel_arr, weights=weights)
         for i in range(n):
             rel_pos = len(spliced_arr[i]) - 2  # true token count before the splice
             tag_strs = [NER_LABELS[t] for t in tags_mat[i, : rel_pos - 1]]  # W4 slice
@@ -154,10 +173,12 @@ def _ner_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-def score_relations(transcripts: DataFrame) -> DataFrame:
+def score_relations(transcripts: DataFrame, weights_bc=None) -> DataFrame:
     """transcripts(conv_id, turn_idx, text, ...) -> + ids, words, probs."""
     cols = [c for c in ("conv_id", "turn_idx", "text") if c in transcripts.columns]
-    return transcripts.select(*cols).mapInPandas(_tokenize_and_score, schema=_SCORED_SCHEMA)
+    return transcripts.select(*cols).mapInPandas(
+        _tokenize_and_score_fn(weights_bc), schema=_SCORED_SCHEMA
+    )
 
 
 def select_relations(scored: DataFrame) -> DataFrame:
@@ -201,10 +222,10 @@ def splice_marker(fanout: DataFrame) -> DataFrame:
     )
 
 
-def decode_spans(spliced: DataFrame) -> DataFrame:
+def decode_spans(spliced: DataFrame, weights_bc=None) -> DataFrame:
     """U2+A7+W4+W3: spliced ids -> subject/object surface strings."""
     return spliced.select("conv_id", "turn_idx", "rel_id", "words", "spliced").mapInPandas(
-        _ner_decode, schema=_DECODED_SCHEMA
+        _ner_decode_fn(weights_bc), schema=_DECODED_SCHEMA
     )
 
 
@@ -232,13 +253,21 @@ def assemble_triples(decoded: DataFrame) -> DataFrame:
     )
 
 
-def extract_triples(transcripts: DataFrame) -> DataFrame:
+def extract_triples(transcripts: DataFrame, weights_bc=None) -> DataFrame:
     """Full pipeline: transcripts -> raw triple stream (with duplicates).
 
     Narrow end-to-end: scan -> mapInPandas -> project/explode -> mapInPandas
     -> explode x2. Zero shuffles; parallelism = input partitions.
+
+    `weights_bc`: optional ``sc.broadcast(MockWeights)`` — the broadcast
+    model-weights seam (None uses the built-in defaults, identical output).
     """
-    return assemble_triples(decode_spans(splice_marker(select_relations(score_relations(transcripts)))))
+    return assemble_triples(
+        decode_spans(
+            splice_marker(select_relations(score_relations(transcripts, weights_bc))),
+            weights_bc,
+        )
+    )
 
 
 def triple_table(raw_triples: DataFrame) -> DataFrame:

@@ -102,3 +102,29 @@ def test_per_predicate_prf_sums_to_micro(spark, fixture_turns):
     m = micro_prf(predicted, golden)
     assert (int(tot.p), int(tot.t), int(tot.c)) == (m["pre_cnt"], m["true_cnt"], m["cor_cnt"])
     assert per_pred.where((F.col("f1") < 0) | (F.col("f1") > 1)).count() == 0
+
+
+def test_broadcast_weights_seam(spark, fixture_turns):
+    """extract_triples with an explicitly broadcast MockWeights bundle must
+    equal the default path bit-for-bit (the real-weights deployment seam),
+    and a CHANGED bundle must actually change behavior (the broadcast is
+    really consumed on executors, not ignored)."""
+    import numpy as np
+
+    from openue_spark.mock_models import MockWeights
+    from openue_spark.pipeline import extract_triples
+
+    rows = list(zip(fixture_turns["conv_id"], fixture_turns["turn_idx"].astype(int), fixture_turns["text"]))
+    sdf = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+
+    bc = spark.sparkContext.broadcast(MockWeights.default())
+    base = sorted(tuple(r) for r in extract_triples(sdf).collect())
+    with_bc = sorted(tuple(r) for r in extract_triples(sdf, weights_bc=bc).collect())
+    assert base == with_bc and len(base) > 0
+
+    # more permissive threshold -> more relations selected -> more triples
+    permissive = MockWeights(seq_cut=0.80, seq_scale=8.0, ner_cuts=np.array(
+        [720, 790, 840, 910, 960, 980, 990, 1000]))
+    bc2 = spark.sparkContext.broadcast(permissive)
+    changed = extract_triples(sdf, weights_bc=bc2).count()
+    assert changed > len(base)
