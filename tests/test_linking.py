@@ -104,3 +104,33 @@ def test_rerank_filters_low_cosine(spark, triples_df):
     # acme corporation share most trigrams but differ -> below 0.99
     for r in kept:
         assert r.cosine >= 0.99
+
+
+def test_banded_blocking_matches_ml_lsh_on_clusters(spark, triples_df):
+    """Both blockers must surface the acme-variant near-dup pairs; the
+    banded path additionally guarantees exact-Jaccard-verified candidates."""
+    from openue_spark.pipeline.linking import candidate_pairs_banded
+
+    mentions = mention_table(triples_df)
+    by_name = {r.mention: r.mention_id for r in mentions.collect()}
+    got = {
+        (min(r.a_id, r.b_id), max(r.a_id, r.b_id))
+        for r in candidate_pairs_banded(mentions, jaccard_distance=0.6).collect()
+    }
+    acme = [by_name["acme corp"], by_name["acme corp."], by_name["acme corporation"]]
+    assert (min(acme[0], acme[1]), max(acme[0], acme[1])) in got
+    # no candidate pairs across obviously-unrelated surface forms
+    far = (min(by_name["paris"], by_name["zebra industries"]),
+           max(by_name["paris"], by_name["zebra industries"]))
+    assert far not in got
+
+
+def test_link_entities_banded_and_ml_agree_on_canonical_groups(spark, triples_df):
+    groups = {}
+    for blocker in ("banded", "ml"):
+        mapping = link_entities(triples_df, blocker=blocker)
+        groups[blocker] = {
+            r.mention: r.canonical for r in mapping.collect()
+        }
+    assert groups["banded"] == groups["ml"]
+    assert groups["banded"]["acme corp."] == groups["banded"]["acme corp"]
