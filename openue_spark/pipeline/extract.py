@@ -270,6 +270,23 @@ def extract_triples(transcripts: DataFrame, weights_bc=None) -> DataFrame:
     )
 
 
+def inference_text(spark, text: str) -> list[dict]:
+    """U5: the reference's single-sentence text API
+    (lit_models/transformer.py:217-226, demo main.py:132-134) — run the
+    full pipeline on a 1-row DataFrame and return
+    ``[{"subject": ..., "predict": ..., "object": ...}, ...]`` dicts with
+    the reference's key names. Driver convenience only — batch jobs go
+    through `extract_triples`.
+    """
+    df = spark.createDataFrame(
+        [("inference", 0, text)], "conv_id string, turn_idx int, text string"
+    )
+    return [
+        {"subject": r.subj, "predict": r.pred, "object": r.obj}
+        for r in extract_triples(df).collect()
+    ]
+
+
 def triple_table(raw_triples: DataFrame) -> DataFrame:
     """Deduplicated (subj, pred, obj) triple table with support counts.
 

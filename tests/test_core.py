@@ -158,3 +158,20 @@ def test_batch_forwards_bit_identical():
     for i, r in enumerate(rows):
         if r.size:
             assert np.array_equal(tb[i, : r.size], ner_tags(r, int(rels[i])))
+
+
+def test_inference_text_api_matches_oracle(spark):
+    """U5 single-sentence API returns reference-keyed dicts equal to the
+    oracle's triples for the same text."""
+    from openue_spark.oracle import extract_turn
+    from openue_spark.pipeline import inference_text
+    from openue_spark.config import ID2REL
+
+    text = "the fast key order sort table scan merge part window small hash"
+    got = inference_text(spark, text)
+    want = [
+        {"subject": subj, "predict": ID2REL[rel_id], "object": obj}
+        for rel_id, subj, obj in extract_turn(text)
+    ]
+    key = lambda d: (d["subject"], d["predict"], d["object"])  # noqa: E731
+    assert sorted(got, key=key) == sorted(want, key=key)
