@@ -54,7 +54,7 @@ from ..config import (
 )
 from ..hashing import poly_hash_batch
 from ..mock_models import ner_tags_batch, seq_probs_batch
-from ..oracle import bio_decode_spans, span_text
+from ..oracle import span_text
 from ..tokenizer import encode
 
 _SCORED_SCHEMA = T.StructType(
@@ -138,30 +138,74 @@ def _ner_decode_fn(weights_bc=None):
     return gen
 
 
+_TAG_O = NER_LABELS.index("O")
+_TAG_BSUB = NER_LABELS.index("B-SUB")
+_TAG_BOBJ = NER_LABELS.index("B-OBJ")
+
+
+def _decode_spans_batch(tags_mat: np.ndarray, lengths: np.ndarray):
+    """Vectorized W3 decode over a whole batch of tag rows.
+
+    Equivalent reformulation of the reference scan (model.py:395-421,
+    mirrored per-row in oracle.bio_decode_spans; property-tested against
+    it): split each row's first `length` tags into maximal O-free segments
+    (the O delimiters close spans); within a segment only the FIRST
+    B-SUB/B-OBJ opens, the span runs to the closing O, and a segment that
+    reaches the slice end without an O is dropped.
+
+    Returns (rows, starts, ends, types) flat arrays in scan order.
+    """
+    n, length = tags_mat.shape
+    if n == 0 or length == 0:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z, z
+    pos = np.arange(length, dtype=np.int64)[None, :]
+    valid = pos < lengths[:, None]
+    is_o = (tags_mat == _TAG_O) & valid
+    seg = np.cumsum(is_o, axis=1) - is_o  # O-count strictly before each pos
+    # the O at position p closes segment seg[p]; unique per (row, segment)
+    close = np.full((n, length + 1), -1, dtype=np.int64)
+    oi, op = np.nonzero(is_o)
+    close[oi, seg[oi, op]] = op
+    # first B-* per (row, segment)
+    is_b = ((tags_mat == _TAG_BSUB) | (tags_mat == _TAG_BOBJ)) & valid
+    first = np.full((n, length + 1), length + 1, dtype=np.int64)
+    bi, bp = np.nonzero(is_b)
+    np.minimum.at(first, (bi, seg[bi, bp]), bp)
+    rows, segs = np.nonzero((first <= length) & (close >= 0))
+    starts = first[rows, segs]
+    ends = close[rows, segs]
+    return rows, starts, ends, tags_mat[rows, starts]
+
+
 def _ner_decode_batches(
     batches: Iterator[pd.DataFrame], weights
 ) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        subj_col, obj_col = [], []
         spliced_arr = pdf["spliced"].to_numpy()
         words_arr = pdf["words"].to_numpy()
         rel_arr = pdf["rel_id"].to_numpy()
         n = len(pdf)
         max_l = max((len(s) for s in spliced_arr), default=0)
         padded = np.zeros((n, max_l), dtype=np.uint64)
+        lengths = np.zeros(n, dtype=np.int64)
         for i in range(n):
             row = spliced_arr[i]
             padded[i, : len(row)] = row
+            # W4 slice bound: keep positions 0..rel_pos-2 (rel_pos = true
+            # token count before the [relK][SEP] splice = len - 2)
+            lengths[i] = max(len(row) - 3, 0)
         # U2+A7 batched across the Arrow batch (one matrix forward); padding
-        # tags are garbage but every row is sliced to its W4 bound below.
+        # tags are garbage but _decode_spans_batch masks beyond each row's
+        # W4 bound.
         tags_mat = ner_tags_batch(padded, rel_arr, weights=weights)
-        for i in range(n):
-            rel_pos = len(spliced_arr[i]) - 2  # true token count before the splice
-            tag_strs = [NER_LABELS[t] for t in tags_mat[i, : rel_pos - 1]]  # W4 slice
-            subjects, objects = bio_decode_spans(tag_strs)
-            words = list(words_arr[i])
-            subj_col.append([span_text(s, words) for s in subjects])
-            obj_col.append([span_text(s, words) for s in objects])
+        rows, starts, ends, types = _decode_spans_batch(tags_mat, lengths)
+        subj_col = [[] for _ in range(n)]
+        obj_col = [[] for _ in range(n)]
+        for r, s, e, t in zip(rows, starts, ends, types):
+            words = words_arr[r]
+            text = span_text((s, e), words)
+            (subj_col if t == _TAG_BSUB else obj_col)[r].append(text)
         yield pd.DataFrame(
             {
                 "conv_id": pdf["conv_id"].to_numpy(),

@@ -79,3 +79,33 @@ def test_batched_forwards_match_per_row(rows_ids, rel):
         assert np.array_equal(pb[i], seq_probs(r))
         if r.size:
             assert np.array_equal(tb[i, : r.size], ner_tags(r, rel))
+
+
+@settings(deadline=None, max_examples=60)
+@given(
+    st.lists(
+        st.lists(st.integers(min_value=0, max_value=7), max_size=30),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_vectorized_span_decode_matches_reference_scan(tag_rows):
+    """pipeline._decode_spans_batch must agree with oracle.bio_decode_spans
+    on arbitrary tag matrices (the W3 quirks are load-bearing)."""
+    from openue_spark.pipeline.extract import _TAG_BSUB, _decode_spans_batch
+
+    lengths = np.array([len(r) for r in tag_rows], dtype=np.int64)
+    max_l = max((len(r) for r in tag_rows), default=0)
+    mat = np.zeros((len(tag_rows), max_l), dtype=np.int64)
+    for i, r in enumerate(tag_rows):
+        mat[i, : len(r)] = r
+
+    rows, starts, ends, types = _decode_spans_batch(mat, lengths)
+    got_s = [[] for _ in tag_rows]
+    got_o = [[] for _ in tag_rows]
+    for r, s, e, t in zip(rows, starts, ends, types):
+        (got_s if t == _TAG_BSUB else got_o)[r].append((int(s), int(e)))
+
+    for i, r in enumerate(tag_rows):
+        want_s, want_o = bio_decode_spans([NER_LABELS[t] for t in r])
+        assert got_s[i] == want_s and got_o[i] == want_o
