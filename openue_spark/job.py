@@ -23,7 +23,9 @@ import sys
 import time
 
 
-def main(argv: list[str] | None = None) -> int:
+def main(argv: list[str] | None = None, spark=None) -> int:
+    """CLI entry. `spark` is injectable for in-process tests; when provided
+    the session is left running (the caller owns its lifecycle)."""
     parser = argparse.ArgumentParser(description="OpenUE-on-Spark KG construction job")
     src = parser.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="parquet dir of transcripts (conv_id, turn_idx, role, text, tool, ts)")
@@ -34,19 +36,20 @@ def main(argv: list[str] | None = None) -> int:
     parser.add_argument("--salt-buckets", type=int, default=16, help="dedup skew-salt buckets")
     args = parser.parse_args(argv)
 
-    from pyspark.sql import SparkSession
+    owns_session = spark is None
+    if owns_session:
+        from pyspark import SparkConf
+        from pyspark.sql import SparkSession
 
-    from openue_spark.session import tuning_conf
+        from openue_spark.session import tuning_conf
 
-    from pyspark import SparkConf
-
-    submitted = dict(SparkConf().getAll())  # conf from spark-submit --conf
-    builder = SparkSession.builder.appName("openue_kg_job")
-    for k, v in tuning_conf().items():
-        if k not in submitted:  # engine defaults; explicit --conf wins
-            builder = builder.config(k, v)
-    spark = builder.getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+        submitted = dict(SparkConf().getAll())  # conf from spark-submit --conf
+        builder = SparkSession.builder.appName("openue_kg_job")
+        for k, v in tuning_conf().items():
+            if k not in submitted:  # engine defaults; explicit --conf wins
+                builder = builder.config(k, v)
+        spark = builder.getOrCreate()
+        spark.sparkContext.setLogLevel("WARN")
 
     from openue_spark.fixtures import transcripts_spark
     from openue_spark.pipeline.linking import canonical_triples, link_entities
@@ -78,7 +81,8 @@ def main(argv: list[str] | None = None) -> int:
         f"({time.time() - t2:.1f}s); total {time.time() - t0:.1f}s; "
         f"throughput {n_raw / (time.time() - t0):.0f} triples/s"
     )
-    spark.stop()
+    if owns_session:
+        spark.stop()
     return 0
 
 

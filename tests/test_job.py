@@ -1,0 +1,39 @@
+"""End-to-end job wiring (the spark-submit entry point, in-process)."""
+
+import os
+
+from pyspark.sql import functions as F
+
+
+def test_job_main_synthesize_no_link(spark, tmp_path):
+    from openue_spark.job import main
+
+    out = str(tmp_path / "kg")
+    rc = main(["--synthesize", "2000", "--out", out, "--no-link", "--shards", "2"], spark=spark)
+    assert rc == 0
+    graph = spark.read.parquet(f"{out}/graph")
+    assert graph.count() > 0
+    assert {"subj", "pred", "obj", "support", "conv_bucket"} <= set(graph.columns)
+    # manifest lineage rows: one per (run, shard)
+    manifest = spark.read.parquet(f"{out}/manifest")
+    assert manifest.where(F.col("stage") == "extract").count() == 2
+    assert manifest.where(F.col("triple_count") <= 0).count() == 0
+    # hive layout on disk
+    preds = [d for d in os.listdir(f"{out}/graph") if d.startswith("pred=")]
+    assert len(preds) > 1
+
+
+def test_job_main_input_path_resumes(spark, tmp_path):
+    """Re-running over the same --out is a no-op resume (manifest-driven)."""
+    from openue_spark.fixtures import transcripts_spark
+    from openue_spark.job import main
+
+    inp = str(tmp_path / "turns")
+    transcripts_spark(spark, 1500, partitions=2).write.parquet(inp)
+    out = str(tmp_path / "kg2")
+    assert main(["--input", inp, "--out", out, "--no-link", "--shards", "2"], spark=spark) == 0
+    n1 = spark.read.parquet(f"{out}/triples").count()
+    m1 = spark.read.parquet(f"{out}/manifest").count()
+    assert main(["--input", inp, "--out", out, "--no-link", "--shards", "2"], spark=spark) == 0
+    assert spark.read.parquet(f"{out}/triples").count() == n1
+    assert spark.read.parquet(f"{out}/manifest").count() == m1  # nothing re-ran
