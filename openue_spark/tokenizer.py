@@ -37,8 +37,22 @@ def tokenize_words(text: str) -> list[str]:
     return _TOKEN_RE.findall(preprocess(text))
 
 
+# Bounded memo for word_id: natural-language vocabularies are Zipfian, so
+# the hit rate is high and the dict stays small; cleared (not LRU-evicted)
+# at the cap to keep the fast path branch-free. Pure function — caching
+# cannot change results.
+_WORD_ID_CACHE: dict[str, int] = {}
+_WORD_ID_CACHE_MAX = 1 << 16
+
+
 def word_id(token: str) -> int:
-    return VOCAB_BASE + crc32_id(token) % VOCAB_HASH_SIZE
+    v = _WORD_ID_CACHE.get(token)
+    if v is None:
+        v = VOCAB_BASE + crc32_id(token) % VOCAB_HASH_SIZE
+        if len(_WORD_ID_CACHE) >= _WORD_ID_CACHE_MAX:
+            _WORD_ID_CACHE.clear()
+        _WORD_ID_CACHE[token] = v
+    return v
 
 
 def encode(text: str, max_length: int = MAX_SEQ_LENGTH - 2) -> tuple[list[int], list[str]]:
