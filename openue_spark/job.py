@@ -3,8 +3,15 @@
 Usage (sandbox-scale example):
 
   zip -r /tmp/openue_spark.zip openue_spark
-  spark-submit --master local[32] --py-files /tmp/openue_spark.zip \\
+  spark-submit --master local[32] --driver-memory 8g \\
+      --py-files /tmp/openue_spark.zip \\
       openue_spark/job.py --synthesize 60000 --out /tmp/kg_out --shards 16
+
+NOTE --driver-memory matters in local mode: the driver JVM IS the executor,
+and spark-submit's 1g default OOMs the linking stage around ~100k turns.
+It cannot be raised from inside this script — spark-submit has already
+started the JVM by the time Python runs (the job warns when it detects a
+small heap).
 
 or over an existing transcripts table:
 
@@ -19,8 +26,13 @@ predicate. Re-submitting after a failure resumes from the manifest.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
 import time
+
+# self-locate when run as `spark-submit openue_spark/job.py` without
+# --py-files (the zip path adds the package to every executor anyway)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(argv: list[str] | None = None, spark=None) -> int:
@@ -50,6 +62,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 builder = builder.config(k, v)
         spark = builder.getOrCreate()
         spark.sparkContext.setLogLevel("WARN")
+        master = spark.sparkContext.master
+        heap = int(spark._jvm.java.lang.Runtime.getRuntime().maxMemory())
+        if master.startswith("local") and heap < 4 << 30:
+            print(
+                f"[job] WARNING: local-mode driver heap is only "
+                f"{heap / (1 << 30):.1f} GiB — the driver JVM is also the "
+                "executor here; pass `spark-submit --driver-memory 8g` or "
+                "the linking stage may OOM at ~100k+ turns",
+                file=sys.stderr,
+            )
 
     from openue_spark.fixtures import transcripts_spark
     from openue_spark.pipeline.linking import canonical_triples, link_entities
