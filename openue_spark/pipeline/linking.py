@@ -183,26 +183,54 @@ def candidate_pairs_banded(
     ).select("mention_id", "bh.band_id", "bh.band_hash")
     a = banded.select(F.col("mention_id").alias("a_id"), "band_id", "band_hash")
     b = banded.select(F.col("mention_id").alias("b_id"), "band_id", "band_hash")
+    # No distinct here: deduping 3.4M+ raw collisions is a full shuffle,
+    # while the verify below is a narrow map over broadcast mention arrays —
+    # re-verifying a pair that collided in k bands costs k cheap intersects,
+    # and the dropDuplicates at the end runs on the ~10x smaller verified
+    # edge set instead.
     cand = (
         a.join(b, ["band_id", "band_hash"])
         .where(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
-        .distinct()
     )
-    sa = shingled.select(F.col("mention_id").alias("a_id"), F.col("shingles").alias("sh_a"))
-    sb = shingled.select(F.col("mention_id").alias("b_id"), F.col("shingles").alias("sh_b"))
+    # Exact verify, shuffle-lean (the candidate set dwarfs the mention set —
+    # 3.4M pairs from 36k mentions at the 100k-turn profile — so verify cost
+    # dominates blocking):
+    # - shingles hashed to int64 once per mention: the pair join ships
+    #   array<bigint> instead of array<string> (~3x fewer shuffle bytes,
+    #   cheaper intersects; 64-bit collisions are negligible)
+    # - size-ratio prefilter BEFORE the intersect: J >= t forces
+    #   min(|a|,|b|) >= t * max(|a|,|b|) (|∩| <= min, |∪| >= max), an
+    #   int-only reject of most candidates
+    # - |∪| computed as n_a + n_b - |∩| (shingle sets are distinct)
+    hashed = shingled.select(
+        "mention_id",
+        F.expr("transform(shingles, s -> xxhash64(s))").alias("sh"),
+        F.size("shingles").alias("n_sh"),
+    )
+    min_j = 1.0 - jaccard_distance
+    sa = hashed.select(
+        F.col("mention_id").alias("a_id"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = hashed.select(
+        F.col("mention_id").alias("b_id"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
         cand.join(sa, "a_id")
         .join(sb, "b_id")
+        .where(
+            F.least("n_a", "n_b").cast("double")
+            >= F.lit(min_j) * F.greatest("n_a", "n_b")
+        )
+        .withColumn("inter", inter)
         .withColumn(
             "jaccard_dist",
-            1
-            - F.expr(
-                "size(array_intersect(sh_a, sh_b)) / cast(size(array_union(sh_a, sh_b)) as double)"
-            ),
+            1 - F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
         )
         .where(F.col("jaccard_dist") <= jaccard_distance)
         .select("a_id", "b_id", "jaccard_dist")
+        .dropDuplicates(["a_id", "b_id"])
     )
 
 
