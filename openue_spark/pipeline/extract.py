@@ -55,14 +55,14 @@ from ..config import (
 from ..hashing import poly_hash_batch
 from ..mock_models import ner_tags_batch, seq_probs_batch
 from ..oracle import span_text
-from ..tokenizer import encode
+from ..tokenizer import encode, tokenize_words
 
 _SCORED_SCHEMA = T.StructType(
     [
         T.StructField("conv_id", T.StringType()),
         T.StructField("turn_idx", T.IntegerType()),
         T.StructField("ids", T.ArrayType(T.IntegerType())),
-        T.StructField("words", T.ArrayType(T.StringType())),
+        T.StructField("text", T.StringType()),
         T.StructField("probs", T.ArrayType(T.DoubleType())),
     ]
 )
@@ -97,24 +97,27 @@ def _tokenize_and_score_fn(weights_bc=None):
         for pdf in batches:
             n = len(pdf)
             ids_col: list[list[int]] = []
-            words_col: list[list[str]] = []
             max_l = 0
-            for text in pdf["text"].to_numpy():
-                ids, words = encode(text, max_len)
+            texts = pdf["text"].to_numpy()
+            for text in texts:
+                ids, _words = encode(text, max_len)
                 ids_col.append(ids)
-                words_col.append(words)
                 if len(ids) > max_l:
                     max_l = len(ids)
             padded = np.zeros((n, max_l), dtype=np.uint64)
             for i, ids in enumerate(ids_col):
                 padded[i, : len(ids)] = ids
             probs = seq_probs_batch(poly_hash_batch(padded), weights=weights)
+            # `text` (ONE string) flows downstream instead of the words
+            # array<string>: the fan-out multiplies every carried byte, and
+            # Arrow-serializing ~25 small strings per row both ways was a
+            # measurable share of memory bandwidth; stage 2 re-tokenizes.
             yield pd.DataFrame(
                 {
                     "conv_id": pdf["conv_id"].to_numpy(),
                     "turn_idx": pdf["turn_idx"].to_numpy(),
                     "ids": ids_col,
-                    "words": words_col,
+                    "text": texts,
                     "probs": list(probs),
                 }
             )
@@ -183,8 +186,13 @@ def _ner_decode_batches(
 ) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         spliced_arr = pdf["spliced"].to_numpy()
-        words_arr = pdf["words"].to_numpy()
+        text_arr = pdf["text"].to_numpy()
         rel_arr = pdf["rel_id"].to_numpy()
+        # rebuild the kept words exactly as encode() did (same tokenizer,
+        # same truncation bound) — cheaper than shipping array<string>
+        # through the fan-out
+        word_bound = max(0, (MAX_SEQ_LENGTH - 2) - 2)
+        words_cache: dict[int, list[str]] = {}
         n = len(pdf)
         max_l = max((len(s) for s in spliced_arr), default=0)
         padded = np.zeros((n, max_l), dtype=np.uint64)
@@ -203,9 +211,11 @@ def _ner_decode_batches(
         subj_col = [[] for _ in range(n)]
         obj_col = [[] for _ in range(n)]
         for r, s, e, t in zip(rows, starts, ends, types):
-            words = words_arr[r]
-            text = span_text((s, e), words)
-            (subj_col if t == _TAG_BSUB else obj_col)[r].append(text)
+            words = words_cache.get(r)
+            if words is None:
+                words = tokenize_words(text_arr[r])[:word_bound]
+                words_cache[r] = words
+            (subj_col if t == _TAG_BSUB else obj_col)[r].append(span_text((s, e), words))
         yield pd.DataFrame(
             {
                 "conv_id": pdf["conv_id"].to_numpy(),
@@ -242,12 +252,12 @@ def select_relations(scored: DataFrame) -> DataFrame:
     return (
         scored.withColumn("cand", F.expr(pairs))
         .withColumn("sel", F.expr(f"CASE WHEN size(cand) > 0 THEN cand ELSE {fallback} END"))
-        .select("conv_id", "turn_idx", "ids", "words", F.explode("sel").alias("s"))
+        .select("conv_id", "turn_idx", "ids", "text", F.explode("sel").alias("s"))
         .select(
             "conv_id",
             "turn_idx",
             "ids",
-            "words",
+            "text",
             F.col("s.rel_id").alias("rel_id"),
             F.col("s.prob").alias("prob"),
         )
@@ -268,7 +278,7 @@ def splice_marker(fanout: DataFrame) -> DataFrame:
 
 def decode_spans(spliced: DataFrame, weights_bc=None) -> DataFrame:
     """U2+A7+W4+W3: spliced ids -> subject/object surface strings."""
-    return spliced.select("conv_id", "turn_idx", "rel_id", "words", "spliced").mapInPandas(
+    return spliced.select("conv_id", "turn_idx", "rel_id", "text", "spliced").mapInPandas(
         _ner_decode_fn(weights_bc), schema=_DECODED_SCHEMA
     )
 
