@@ -345,7 +345,19 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.multimodal import decode_features, synth_media
 
     media = synth_media(spark, max(500, _sf_turns(sf_dir) // 100))
-    return decode_features(media, fake=True)
+    feats = decode_features(media, fake=True)
+    # The driver's rows-only canonicalization (pandas sort_values) dies on
+    # list-valued cells, so the contract surface renders the feature vector
+    # as a deterministic scalar digest; the array<double> column itself
+    # stays available via decode_features for internal consumers.
+    return feats.select(
+        "media_id",
+        "kind",
+        F.md5(
+            F.expr("array_join(transform(feature, x -> format_string('%.6f', x)), ',')")
+        ).alias("feature_digest"),
+        "n_bytes",
+    )
 
 
 # --- P3: empty-gold filter (reference utils.py:368-369) ---
@@ -502,14 +514,24 @@ def q_a6_multilabel_prf_by_relation(spark: SparkSession, sf_dir: str) -> DataFra
 
 def q_agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q1-shaped partial-aggregatable scan-agg over the largest table
-    (map-side combine -> one shuffle on a 4-ish-key group space)."""
+    (map-side combine -> one shuffle on a 4-ish-key group space).
+
+    Money sums run as exact decimal(18,2) aggregates (addition-order
+    independent) and only the FINAL value is rendered as double — the same
+    round+cast on the DuckDB side, so pandas canonicalization sees identical
+    float64 on both engines (a Decimal-object vs float64 dtype mismatch
+    hash-fails even when values are equal)."""
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("count_order"),
-            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("sum_qty"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_quantity").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_qty"),
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("sum_base_price"),
         )
     )
 
@@ -524,7 +546,9 @@ def q_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment", "o_orderstatus")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+            .cast("double")
+            .alias("revenue"),
         )
     )
 
@@ -857,13 +881,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         "agg_pricing_summary": (
             "SELECT l_returnflag, l_linestatus, count(*) AS count_order,"
-            " sum(cast(l_quantity AS decimal(18,2))) AS sum_qty,"
-            " sum(cast(l_extendedprice AS decimal(18,2))) AS sum_base_price"
+            " round(sum(cast(l_quantity AS decimal(18,2))), 2)::DOUBLE AS sum_qty,"
+            " round(sum(cast(l_extendedprice AS decimal(18,2))), 2)::DOUBLE"
+            "  AS sum_base_price"
             " FROM lineitem GROUP BY l_returnflag, l_linestatus"
         ),
         "join_segment_revenue": (
             "SELECT c_mktsegment, o_orderstatus, count(*) AS n_orders,"
-            " sum(cast(o_totalprice AS decimal(18,2))) AS revenue"
+            " round(sum(cast(o_totalprice AS decimal(18,2))), 2)::DOUBLE AS revenue"
             " FROM orders JOIN customer ON o_custkey = c_custkey"
             " GROUP BY c_mktsegment, o_orderstatus"
         ),

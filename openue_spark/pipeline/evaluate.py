@@ -2,12 +2,14 @@
 
 The reference computes micro precision/recall/F1 by exact-match containment
 of predicted triples in the gold list per sentence, summing pre/true/cor
-counts across the epoch (reference lit_models/transformer.py:183-215).
-Here both sides are DataFrames keyed by (conv_id, turn_idx, subj, pred,
-obj); the counts reduce in ONE shuffle via a full outer join on distinct
-keys (the reference's containment check is set semantics — duplicates on
-either side count once, matching its `if pred in gold` loop over a list
-scanned once per unique element).
+counts across the epoch (reference lit_models/transformer.py:192-215).
+It counts WITH multiplicity: `pre += len(pre_triple)`, `true +=
+len(true_triple)` (transformer.py:197-203), and `_cal`
+(transformer.py:183-190) increments `cor` once per predicted item — so a
+duplicated predicted triple whose key exists in gold contributes its full
+multiplicity to both `pre` and `cor`. Replicated here in ONE shuffle: both
+sides group to (key, count), a full outer join yields per-key (pc, gc),
+then pre = Σpc, true = Σgc, cor = Σ pc·[gc > 0].
 
 `per_predicate_prf` is the A6 analogue: the same counts grouped by
 predicate, for per-relation quality monitoring at scale.
@@ -22,19 +24,32 @@ _KEY = ["conv_id", "turn_idx", "subj", "pred", "obj"]
 
 
 def _flagged(predicted: DataFrame, gold: DataFrame) -> DataFrame:
-    p = predicted.select(*_KEY).distinct().withColumn("p", F.lit(1))
-    g = gold.select(*_KEY).distinct().withColumn("g", F.lit(1))
-    return p.join(g, _KEY, "full").na.fill(0, ["p", "g"])
+    """Per-key multiplicity flags: p = predicted count, g = gold count,
+    c = predicted count if the key exists in gold else 0 (the reference's
+    once-per-predicted-duplicate `cor` accounting)."""
+    p = predicted.groupBy(*_KEY).agg(F.count(F.lit(1)).alias("pc"))
+    g = gold.groupBy(*_KEY).agg(F.count(F.lit(1)).alias("gc"))
+    return (
+        p.join(g, _KEY, "full")
+        .na.fill(0, ["pc", "gc"])
+        .select(
+            *_KEY,
+            F.col("pc").alias("p"),
+            F.col("gc").alias("g"),
+            F.when(F.col("gc") > 0, F.col("pc")).otherwise(F.lit(0)).alias("c"),
+        )
+    )
 
 
 def micro_prf(predicted: DataFrame, gold: DataFrame) -> dict:
-    """Micro P/R/F1 over exact (conv, turn, subj, pred, obj) matches."""
+    """Micro P/R/F1 over exact (conv, turn, subj, pred, obj) matches,
+    counted with multiplicity (reference transformer.py:197-203)."""
     row = (
         _flagged(predicted, gold)
         .agg(
             F.sum("p").alias("pre_cnt"),
             F.sum("g").alias("true_cnt"),
-            F.sum(F.col("p") * F.col("g")).alias("cor_cnt"),
+            F.sum("c").alias("cor_cnt"),
         )
         .collect()[0]
     )
@@ -54,7 +69,7 @@ def per_predicate_prf(predicted: DataFrame, gold: DataFrame) -> DataFrame:
         .agg(
             F.sum("p").cast("long").alias("pre_cnt"),
             F.sum("g").cast("long").alias("true_cnt"),
-            F.sum(F.col("p") * F.col("g")).cast("long").alias("cor_cnt"),
+            F.sum("c").cast("long").alias("cor_cnt"),
         )
     )
     p = F.when(F.col("pre_cnt") > 0, F.col("cor_cnt") / F.col("pre_cnt")).otherwise(0.0)

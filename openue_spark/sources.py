@@ -63,11 +63,16 @@ TRANSCRIPT_SCHEMA = T.StructType(
 def read_jsonl_corpus(spark: SparkSession, path: str) -> DataFrame:
     """S1: JSONL corpus -> (text_id, text, gold) with a stable text_id.
 
-    text_id is the file-order line number (reference utils.py:320-331
-    numbers examples in read order). File order is reconstructed stably
-    from (input file, line text, intra-file duplicate index) — at scale the
-    id should simply be a stored column; this reader exists for
-    reference-format fixture ingestion.
+    The reference numbers examples in read order (utils.py:320-331). A
+    distributed reader has no cheap notion of "read order", so text_id here
+    is assigned in deterministic CONTENT order — lexicographic over
+    (input file, text, spo_list) — which is stable across runs and
+    partitionings but matches the reference's line numbers only for files
+    whose lines happen to be sorted. Nothing downstream keys on text_id
+    density or reference-identical numbering (the pipeline keys on
+    (conv_id, turn_idx)); if reference-matching ids ever matter, store the
+    line number as a column at ingest. Fixture-scale reader: the global
+    row_number is a single-partition sort by construction.
     """
     raw = (
         spark.read.schema(CORPUS_SCHEMA)

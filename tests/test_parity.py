@@ -104,6 +104,25 @@ def test_per_predicate_prf_sums_to_micro(spark, fixture_turns):
     assert per_pred.where((F.col("f1") < 0) | (F.col("f1") > 1)).count() == 0
 
 
+def test_micro_prf_counts_with_multiplicity(spark):
+    """Reference A4 counts with multiplicity (transformer.py:197-203):
+    a duplicated predicted triple found in gold adds its full multiplicity
+    to both pre and cor; gold duplicates add to true."""
+    schema = "conv_id string, turn_idx int, subj string, pred string, obj string"
+    k1 = ("c", 0, "a", "p", "b")
+    k2 = ("c", 0, "x", "p", "y")
+    k3 = ("c", 1, "m", "q", "n")
+    predicted = spark.createDataFrame([k1, k1, k2], schema)
+    gold = spark.createDataFrame([k1, k3, k3], schema)
+
+    from openue_spark.pipeline import micro_prf
+
+    m = micro_prf(predicted, gold)
+    assert (m["pre_cnt"], m["true_cnt"], m["cor_cnt"]) == (3, 3, 2)
+    assert m["precision"] == pytest.approx(2 / 3)
+    assert m["recall"] == pytest.approx(2 / 3)
+
+
 def test_broadcast_weights_seam(spark, fixture_turns):
     """extract_triples with an explicitly broadcast MockWeights bundle must
     equal the default path bit-for-bit (the real-weights deployment seam),
