@@ -273,31 +273,40 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- dedup family (ops.dedup): MinHash-LSH / SimHash / n-gram Jaccard ---
+# --- dedup family (ops.dedup): MinHash-LSH / SimHash / n-gram Jaccard.
+#     The operators take a corpus verbatim; the contract wraps the documents
+#     table with fixtures.planted_docs so near-duplicates exist at every
+#     scale factor (the DuckDB oracles plant the same rows in SQL). ---
+
+
+def _planted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .fixtures import planted_docs
+
+    return planted_docs(_t(spark, sf_dir, "documents"))
 
 
 def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.dedup import minhash_verified_pairs
 
-    return minhash_verified_pairs(_t(spark, sf_dir, "documents"), min_jaccard=0.6)
+    return minhash_verified_pairs(_planted(spark, sf_dir), min_jaccard=0.6)
 
 
 def q_minhash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.dedup import minhash_dedup_keep
 
-    return minhash_dedup_keep(_t(spark, sf_dir, "documents"), min_jaccard=0.6)
+    return minhash_dedup_keep(_planted(spark, sf_dir), min_jaccard=0.6)
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.dedup import simhash_near_dup_pairs
 
-    return simhash_near_dup_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return simhash_near_dup_pairs(_planted(spark, sf_dir), max_hamming=3)
 
 
 def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.dedup import ngram_jaccard_pairs
 
-    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), min_jaccard=0.5)
+    return ngram_jaccard_pairs(_planted(spark, sf_dir), min_jaccard=0.5)
 
 
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

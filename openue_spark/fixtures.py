@@ -108,3 +108,24 @@ def transcripts_spark(spark, n_turns: int, partitions: int | None = None):
 
     rng = spark.range(0, n_turns, 1, partitions or spark.sparkContext.defaultParallelism)
     return rng.mapInPandas(gen, schema=schema)
+
+
+def planted_docs(docs):
+    """Near-duplicate TEST FIXTURE (not an operator): the corpus plus a
+    truncated copy of every doc_id % 5 == 0 document (id + 1_000_000, first
+    80% of tokens). The dedup operators in ops.dedup take a corpus verbatim;
+    contract queries and tests wrap their input with this to guarantee
+    near-duplicates exist at every scale factor. Returns (doc_id, tokens).
+    """
+    from pyspark.sql import functions as F
+
+    from .ops.dedup import with_tokens
+
+    base = with_tokens(docs.select("doc_id", "text")).select("doc_id", "tokens")
+    plants = base.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.expr(
+            "slice(tokens, 1, greatest(1, cast(floor(size(tokens) * 0.8) as int)))"
+        ).alias("tokens"),
+    )
+    return base.unionByName(plants)

@@ -19,8 +19,10 @@ Scale notes:
 - Candidate pairs are verified with exact Jaccard before any drop decision,
   so LSH false positives never delete data.
 
-The test corpus plants near-duplicates deterministically: every doc_id % 5
-document is re-added (id + 1_000_000) truncated to its first 80% of tokens.
+Every operator takes the user's corpus VERBATIM: a DataFrame with
+(doc_id, text) — or (doc_id, tokens) to skip re-tokenization. Near-dup
+test fixtures (planted duplicates) live in openue_spark.fixtures and the
+contract wrappers, never inside the operators.
 """
 
 from __future__ import annotations
@@ -38,21 +40,12 @@ def with_tokens(docs: DataFrame) -> DataFrame:
     return docs.withColumn("tokens", F.expr(TOKENS))
 
 
-def planted_corpus(docs: DataFrame) -> DataFrame:
-    """documents ∪ near-duplicate plants: doc_id%5==0 docs re-added with
-    id+1_000_000 and only their first 80% of tokens."""
-    base = with_tokens(docs.select("doc_id", "text")).select("doc_id", "tokens")
-    plants = (
-        with_tokens(docs.select("doc_id", "text"))
-        .where(F.col("doc_id") % 5 == 0)
-        .select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"),
-            F.expr(
-                "slice(tokens, 1, greatest(1, cast(floor(size(tokens) * 0.8) as int)))"
-            ).alias("tokens"),
-        )
-    )
-    return base.unionByName(plants)
+def _corpus(docs: DataFrame) -> DataFrame:
+    """Normalize the input corpus to (doc_id, tokens): accept a pre-tokenized
+    `tokens` column as-is, else whitespace-tokenize `text`."""
+    if "tokens" in docs.columns:
+        return docs.select("doc_id", "tokens")
+    return with_tokens(docs.select("doc_id", "text")).select("doc_id", "tokens")
 
 
 def with_shingles(corpus: DataFrame, k: int = 3) -> DataFrame:
@@ -90,7 +83,7 @@ def with_band_hashes(signed: DataFrame, n_bands: int = N_BANDS, n_hashes: int = 
 
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """LSH blocking: docs sharing any band hash -> distinct (a_id, b_id)."""
-    banded = with_band_hashes(with_minhash_signature(with_shingles(planted_corpus(docs))))
+    banded = with_band_hashes(with_minhash_signature(with_shingles(_corpus(docs))))
     stacked = banded.select(
         "doc_id",
         F.explode(
@@ -109,7 +102,7 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
 
 def minhash_verified_pairs(docs: DataFrame, min_jaccard: float = 0.6) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard."""
-    shingled = with_shingles(planted_corpus(docs)).select("doc_id", "shingles")
+    shingled = with_shingles(_corpus(docs)).select("doc_id", "shingles")
     pairs = minhash_candidate_pairs(docs)
     sa = shingled.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b"))
@@ -133,7 +126,7 @@ def minhash_dedup_keep(docs: DataFrame, min_jaccard: float = 0.6) -> DataFrame:
     drops = minhash_verified_pairs(docs, min_jaccard).select(
         F.col("b_id").alias("doc_id")
     ).distinct()
-    corpus_ids = planted_corpus(docs).select("doc_id")
+    corpus_ids = _corpus(docs).select("doc_id")
     return corpus_ids.join(drops, "doc_id", "left_anti").select("doc_id")
 
 
@@ -158,7 +151,7 @@ def with_simhash(corpus: DataFrame) -> DataFrame:
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """Banded SimHash join: 4 nibbles; pairs agreeing on any nibble are
     candidates; keep hamming(simhash_a, simhash_b) <= max_hamming."""
-    hashed = with_simhash(planted_corpus(docs)).select("doc_id", "simhash")
+    hashed = with_simhash(_corpus(docs)).select("doc_id", "simhash")
     nibbles = hashed.select(
         "doc_id",
         "simhash",
@@ -190,7 +183,7 @@ def ngram_jaccard_pairs(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
     """Exact n-gram Jaccard over pairs sharing >= 1 shingle: explode the
     shingle sets, self-join on shingle (inverted-index blocking), count
     shared shingles per pair, then J = shared / (|A| + |B| - shared)."""
-    shingled = with_shingles(planted_corpus(docs)).select(
+    shingled = with_shingles(_corpus(docs)).select(
         "doc_id", "shingles", F.size("shingles").alias("n_sh")
     )
     inv = shingled.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))

@@ -27,9 +27,11 @@ def emb(spark):
 
 
 def test_minhash_finds_planted_near_dups(spark, docs):
+    from openue_spark.fixtures import planted_docs
     from openue_spark.ops.dedup import minhash_verified_pairs
 
-    pairs = {(r.a_id, r.b_id) for r in minhash_verified_pairs(docs, 0.6).collect()}
+    corpus = planted_docs(docs)
+    pairs = {(r.a_id, r.b_id) for r in minhash_verified_pairs(corpus, 0.6).collect()}
     planted = {(i, i + 1_000_000) for i in range(0, 60, 5)}
     # an 80%-truncated copy has Jaccard >= ~0.75 with its source; all planted
     # pairs must be discovered (LSH with 4 bands of 2 rows at J>=0.75:
@@ -37,31 +39,55 @@ def test_minhash_finds_planted_near_dups(spark, docs):
     found = planted & pairs
     assert len(found) >= len(planted) - 1, f"missed {planted - pairs}"
     # every reported pair really passes the threshold
-    for r in minhash_verified_pairs(docs, 0.6).collect():
+    for r in minhash_verified_pairs(corpus, 0.6).collect():
         assert r.jaccard_r >= 0.6
 
 
 def test_minhash_dedup_keep_drops_plants(spark, docs):
-    from openue_spark.ops.dedup import minhash_dedup_keep, planted_corpus
+    from openue_spark.fixtures import planted_docs
+    from openue_spark.ops.dedup import minhash_dedup_keep
 
-    keep = {r.doc_id for r in minhash_dedup_keep(docs, 0.6).collect()}
-    n_corpus = planted_corpus(docs).count()
-    assert len(keep) < n_corpus  # something was dropped
+    corpus = planted_docs(docs)
+    keep = {r.doc_id for r in minhash_dedup_keep(corpus, 0.6).collect()}
+    assert len(keep) < corpus.count()  # something was dropped
     # originals always survive (drops are always the higher id of a pair)
     assert all(i in keep for i in range(60))
 
 
-def test_simhash_near_dups_have_close_hashes(spark, docs):
-    from openue_spark.ops.dedup import simhash_near_dup_pairs, with_simhash, planted_corpus
+def test_operators_take_corpus_verbatim(spark, docs):
+    """A user calling the dedup ops on their own corpus must get results
+    over exactly their doc_ids — no fixture rows injected by the operator."""
+    from openue_spark.ops.dedup import (
+        minhash_dedup_keep,
+        minhash_verified_pairs,
+        ngram_jaccard_pairs,
+        simhash_near_dup_pairs,
+    )
 
-    hashes = {r.doc_id: r.simhash for r in with_simhash(planted_corpus(docs)).collect()}
-    assert all(0 <= h < (1 << 16) for h in hashes.values())
-    pairs = simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    user_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    keep = {r.doc_id for r in minhash_dedup_keep(docs, 0.6).collect()}
+    assert keep <= user_ids and len(keep) > 0
+    for op in (minhash_verified_pairs, ngram_jaccard_pairs):
+        for r in op(docs, 0.5).collect():
+            assert r.a_id in user_ids and r.b_id in user_ids
+    for r in simhash_near_dup_pairs(docs, max_hamming=3).collect():
+        assert r.a_id in user_ids and r.b_id in user_ids
+
+
+def test_simhash_near_dups_have_close_hashes(spark, docs):
+    from openue_spark.fixtures import planted_docs
+    from openue_spark.ops.dedup import simhash_near_dup_pairs, with_simhash
+
+    corpus = planted_docs(docs)
+    hashes = {r.doc_id: r.simhash for r in with_simhash(corpus).collect()}
+    pairs = simhash_near_dup_pairs(corpus, max_hamming=3).collect()
+    assert len(pairs) > 0
     for r in pairs:
         assert bin(hashes[r.a_id] ^ hashes[r.b_id]).count("1") == r.hamming <= 3
 
 
 def test_ngram_jaccard_matches_python(spark, docs):
+    from openue_spark.fixtures import planted_docs
     from openue_spark.ops.dedup import ngram_jaccard_pairs
 
     rows = docs.collect()
@@ -83,7 +109,7 @@ def test_ngram_jaccard_matches_python(spark, docs):
             union = len(corpus[a] | corpus[b])
             if inter and inter / union >= 0.5:
                 expect.add((a, b))
-    got = {(r.a_id, r.b_id) for r in ngram_jaccard_pairs(docs, 0.5).collect()}
+    got = {(r.a_id, r.b_id) for r in ngram_jaccard_pairs(planted_docs(docs), 0.5).collect()}
     assert got == expect
 
 
