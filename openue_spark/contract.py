@@ -681,37 +681,56 @@ _DUCK_MINHASH_KEEP = (
     " (SELECT DISTINCT b_id FROM verified WHERE jaccard >= 0.6)"
 )
 
-_DUCK_HEX4 = (
-    "((strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096"
-    " + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256"
-    " + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16"
-    " + (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1))"
-)
+def _duck_hex_word(start: int) -> str:
+    """Parse md5(t) hex chars [start, start+8) into a 32-bit int (BIGINT)."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr(md5(t), {start + c}, 1)) - 1)"
+            + (f" * {16 ** (7 - c)}" if c < 7 else "")
+            for c in range(8)
+        )
+        + ")"
+    )
 
+
+# 64-bit SimHash mirror of ops.dedup.with_simhash: per-token hash = first 16
+# hex chars of md5 as two 32-bit words; the fingerprint is UBIGINT on the
+# DuckDB side (BIGINT << into the sign bit raises; Spark's signed bigint has
+# the same 64-bit pattern, and only band masks / xor / bit_count consume it).
 _DUCK_SIMHASH = (
     f"WITH {_DUCK_CORPUS},"
-    f" vals AS (SELECT doc_id, list_transform(tokens, t -> {_DUCK_HEX4}) AS vs FROM corpus),"
+    f" vals AS (SELECT doc_id, list_transform(tokens,"
+    f"  t -> [{_duck_hex_word(1)}, {_duck_hex_word(9)}]) AS vs FROM corpus),"
     " sh AS (SELECT doc_id, ("
     + " + ".join(
-        f"(CASE WHEN list_sum(list_transform(vs, v -> 2 * ((v >> {k}) & 1) - 1)) > 0"
-        f" THEN {1 << k} ELSE 0 END)"
-        for k in range(16)
+        f"(CASE WHEN list_sum(list_transform(vs,"
+        f" v -> 2 * ((v[{k // 32 + 1}] >> {k % 32}) & 1) - 1)) > 0"
+        f" THEN {1 << k}::UBIGINT ELSE 0::UBIGINT END)"
+        for k in range(64)
     )
     + ") AS simhash FROM vals),"
-    " nib AS (SELECT doc_id, simhash, n AS nib_id, (simhash >> (4 * n)) & 15 AS nib_val"
+    " bands AS (SELECT doc_id, simhash, n AS band_id,"
+    "  (simhash >> (16 * n)::UBIGINT) & 65535::UBIGINT AS band_val"
     "  FROM sh, range(4) t(n)),"
     " pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id,"
-    "  bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS hamming"
-    "  FROM nib a JOIN nib b ON a.nib_id = b.nib_id AND a.nib_val = b.nib_val"
-    "   AND a.doc_id < b.doc_id)"
+    "  bit_count(xor(a.simhash, b.simhash)) AS hamming"
+    "  FROM bands a JOIN bands b ON a.band_id = b.band_id"
+    "   AND a.band_val = b.band_val AND a.doc_id < b.doc_id)"
     " SELECT a_id, b_id, hamming FROM pairs WHERE hamming <= 3"
 )
+
+_NGRAM_MAX_DF = 1000  # ops.dedup.ngram_jaccard_pairs default, mirrored here
 
 _DUCK_NGRAM_JACCARD = (
     f"WITH {_DUCK_CORPUS},"
     " inv AS (SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle FROM shingled),"
+    " capped AS (SELECT doc_id, n_sh, shingle FROM ("
+    "  SELECT doc_id, n_sh, shingle,"
+    "   count(*) OVER (PARTITION BY shingle) AS df FROM inv)"
+    f" WHERE df <= {_NGRAM_MAX_DF}),"
     " shared AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.n_sh AS na, b.n_sh AS nb,"
-    "  count(*) AS shared FROM inv a JOIN inv b"
+    "  count(*) AS shared FROM capped a JOIN capped b"
     "  ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)"
     " SELECT a_id, b_id, round(shared / cast(na + nb - shared as double), 4) AS jaccard_r"
     " FROM shared WHERE shared / cast(na + nb - shared as double) >= 0.5"

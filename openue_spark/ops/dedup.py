@@ -9,8 +9,12 @@ engines implement identically:
 - MinHash signature component i  = min over shingles of md5(shingle || '#i')
   (lexicographic min over uniformly-distributed hex strings is a valid
   min-hash); LSH band hash = md5(sig_2b || '|' || sig_2b+1).
-- SimHash (16-bit) token value  = first 4 hex chars of md5(token) parsed as
-  an int; bit k of the fingerprint = sign of sum over tokens of ±1 by bit k.
+- SimHash (64-bit) token value  = first 16 hex chars of md5(token); bit k of
+  the fingerprint = sign of sum over tokens of ±1 by bit k. 64 bits is the
+  production width — a 16-bit fingerprint saturates (hamming<=3 collisions
+  everywhere) on corpora beyond toy size. Spark holds the fingerprint in a
+  signed bigint (bit 63 = sign bit, harmless: banding masks and xor/
+  bit_count are bit-pattern operations); the DuckDB oracle uses UBIGINT.
 
 Scale notes:
 - Signatures/fingerprints are per-row array expressions — narrow, no shuffle.
@@ -27,7 +31,7 @@ contract wrappers, never inside the operators.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 N_HASHES = 8
@@ -130,45 +134,65 @@ def minhash_dedup_keep(docs: DataFrame, min_jaccard: float = 0.6) -> DataFrame:
     return corpus_ids.join(drops, "doc_id", "left_anti").select("doc_id")
 
 
-# --- SimHash (16-bit) ---
+# --- SimHash (64-bit) ---
 
-_HEX4 = "cast(conv(substring(md5(t), 1, 4), 16, 10) as int)"
+# Per-token 64 hash bits as two 32-bit words (conv of 8 hex chars fits a
+# signed bigint; 16 chars would not): v[0] = md5 chars 1-8, v[1] = chars 9-16.
+_WORDS64 = (
+    "array(cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint),"
+    " cast(conv(substring(md5(t), 9, 8), 16, 10) as bigint))"
+)
+
+SIMHASH_BITS = 64
+SIMHASH_BANDS = 4  # 4 x 16-bit bands: hamming <= 3 ALWAYS shares a band
 
 
 def with_simhash(corpus: DataFrame) -> DataFrame:
-    """16-bit SimHash per doc from token md5 values — per-row expressions."""
-    vals = f"transform(tokens, t -> {_HEX4})"
+    """64-bit SimHash per doc from token md5 values — per-row expressions.
+
+    md5 is evaluated once per token into a 2-word array column, then each of
+    the 64 bit-votes aggregates over that array (sign of Σ ±1). The
+    fingerprint lands in a signed bigint; bit 63 makes it negative, which is
+    fine — every consumer (banding, xor, bit_count) is bit-pattern math.
+    """
+    vals = corpus.withColumn("vs", F.expr(f"transform(tokens, t -> {_WORDS64})"))
     bit_terms = []
-    for k in range(16):
-        s = (
-            f"aggregate({vals}, 0, (acc, v) ->"
-            f" acc + (2 * int((v >> {k}) & 1) - 1))"
+    for k in range(SIMHASH_BITS):
+        w, p = k // 32, k % 32
+        vote = (
+            f"aggregate(vs, 0, (acc, v) ->"
+            f" acc + (2 * int((v[{w}] >> {p}) & 1) - 1))"
         )
-        bit_terms.append(f"(CASE WHEN ({s}) > 0 THEN {1 << k} ELSE 0 END)")
-    return corpus.withColumn("simhash", F.expr(" + ".join(bit_terms)))
+        bit_terms.append(
+            f"(CASE WHEN ({vote}) > 0 THEN shiftleft(cast(1 as bigint), {k})"
+            f" ELSE cast(0 as bigint) END)"
+        )
+    return vals.withColumn("simhash", F.expr(" + ".join(bit_terms))).drop("vs")
 
 
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Banded SimHash join: 4 nibbles; pairs agreeing on any nibble are
-    candidates; keep hamming(simhash_a, simhash_b) <= max_hamming."""
+    """Banded SimHash join: 4 bands of 16 bits; pairs agreeing on any band
+    are candidates; keep hamming(simhash_a, simhash_b) <= max_hamming.
+    By pigeonhole, hamming <= 3 differing bits cannot touch all 4 bands, so
+    recall is exact (not probabilistic) for the default threshold."""
     hashed = with_simhash(_corpus(docs)).select("doc_id", "simhash")
-    nibbles = hashed.select(
+    bands = hashed.select(
         "doc_id",
         "simhash",
         F.explode(
             F.array(*[
                 F.struct(
-                    F.lit(n).alias("nib_id"),
-                    F.expr(f"int((simhash >> {4 * n}) & 15)").alias("nib_val"),
+                    F.lit(n).alias("band_id"),
+                    F.expr(f"int((simhash >> {16 * n}) & 65535)").alias("band_val"),
                 )
-                for n in range(4)
+                for n in range(SIMHASH_BANDS)
             ])
         ).alias("nb"),
-    ).select("doc_id", "simhash", "nb.nib_id", "nb.nib_val")
-    a = nibbles.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sh_a"), "nib_id", "nib_val")
-    b = nibbles.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("sh_b"), "nib_id", "nib_val")
+    ).select("doc_id", "simhash", "nb.band_id", "nb.band_val")
+    a = bands.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sh_a"), "band_id", "band_val")
+    b = bands.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("sh_b"), "band_id", "band_val")
     return (
-        a.join(b, ["nib_id", "nib_val"])
+        a.join(b, ["band_id", "band_val"])
         .where(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id", F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
         .distinct()
@@ -179,14 +203,30 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
 # --- n-gram Jaccard (shingle-join blocking, no MinHash approximation) ---
 
 
-def ngram_jaccard_pairs(docs: DataFrame, min_jaccard: float = 0.5) -> DataFrame:
-    """Exact n-gram Jaccard over pairs sharing >= 1 shingle: explode the
-    shingle sets, self-join on shingle (inverted-index blocking), count
-    shared shingles per pair, then J = shared / (|A| + |B| - shared)."""
+def ngram_jaccard_pairs(
+    docs: DataFrame, min_jaccard: float = 0.5, max_df: int = 1000
+) -> DataFrame:
+    """n-gram Jaccard over pairs sharing >= 1 shingle: explode the shingle
+    sets, self-join on shingle (inverted-index blocking), count shared
+    shingles per pair, then J = shared / (|A| + |B| - shared).
+
+    Posting lists are capped: shingles appearing in more than `max_df`
+    documents are dropped from the inverted index BEFORE the self-join —
+    a hot shingle (a stopword trigram in df documents) would otherwise
+    produce O(df^2) join rows, the classic inverted-index scale-killer.
+    |A| and |B| stay the full set sizes, so capping only UNDERestimates J
+    for pairs whose overlap is mostly hot shingles (a pair sharing nothing
+    but stopword trigrams is not a near-duplicate). The df pass is one
+    count over the shingle key — same key, same partitioning as the join
+    that follows; work per hot shingle is O(df), never O(df^2)."""
     shingled = with_shingles(_corpus(docs)).select(
         "doc_id", "shingles", F.size("shingles").alias("n_sh")
     )
     inv = shingled.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
+    df_w = Window.partitionBy("shingle")
+    inv = inv.withColumn("df", F.count(F.lit(1)).over(df_w)).where(
+        F.col("df") <= max_df
+    ).drop("df")
     a = inv.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"), "shingle")
     b = inv.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"), "shingle")
     shared = (

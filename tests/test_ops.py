@@ -82,8 +82,50 @@ def test_simhash_near_dups_have_close_hashes(spark, docs):
     hashes = {r.doc_id: r.simhash for r in with_simhash(corpus).collect()}
     pairs = simhash_near_dup_pairs(corpus, max_hamming=3).collect()
     assert len(pairs) > 0
+    mask = (1 << 64) - 1  # signed bigint fingerprint -> 64-bit pattern
     for r in pairs:
-        assert bin(hashes[r.a_id] ^ hashes[r.b_id]).count("1") == r.hamming <= 3
+        assert bin((hashes[r.a_id] ^ hashes[r.b_id]) & mask).count("1") == r.hamming <= 3
+
+
+def test_simhash_is_64_bit_and_recall_exact(spark):
+    """The fingerprint uses all 64 bits (top bit reachable -> negative
+    bigint), and banding finds EVERY pair at hamming <= 3 (pigeonhole:
+    4 x 16-bit bands), verified against a brute-force all-pairs scan."""
+    import itertools
+
+    from openue_spark.fixtures import planted_docs
+    from openue_spark.ops.dedup import simhash_near_dup_pairs, with_simhash
+
+    rng = np.random.RandomState(3)
+    vocab = [f"t{i}" for i in range(25)]
+    rows = [(i, " ".join(rng.choice(vocab, size=rng.randint(15, 40)))) for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = planted_docs(docs)
+    hashes = {r.doc_id: r.simhash for r in with_simhash(corpus).collect()}
+    assert any(h < 0 for h in hashes.values()) or any(
+        h >= (1 << 32) for h in hashes.values()
+    ), "fingerprint never leaves the low 32 bits — not 64-bit"
+    mask = (1 << 64) - 1
+    brute = {
+        (a, b)
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if bin((hashes[a] ^ hashes[b]) & mask).count("1") <= 3
+    }
+    got = {(r.a_id, r.b_id) for r in simhash_near_dup_pairs(corpus, max_hamming=3).collect()}
+    assert got == brute
+
+
+def test_ngram_hot_shingle_capped(spark):
+    """A stopword trigram shared by every doc must not blow up the pair
+    join: with max_df below its document frequency the posting list is
+    dropped and contributes zero pairs."""
+    from openue_spark.ops.dedup import ngram_jaccard_pairs
+
+    rows = [(i, f"the of and u{i}a u{i}b u{i}c u{i}d") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = ngram_jaccard_pairs(df, min_jaccard=0.01, max_df=10_000).count()
+    assert uncapped == 30 * 29 // 2  # the hot shingle links every pair
+    assert ngram_jaccard_pairs(df, min_jaccard=0.01, max_df=10).count() == 0
 
 
 def test_ngram_jaccard_matches_python(spark, docs):
