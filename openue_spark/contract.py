@@ -315,6 +315,14 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(_t(spark, sf_dir, "embeddings"), min_cosine=0.4)
 
 
+def q_embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.dedup import embedding_near_dup_bucketed
+
+    return embedding_near_dup_bucketed(
+        _t(spark, sf_dir, "embeddings"), min_cosine=0.4, dim=64
+    )
+
+
 # --- text analysis (ops.text) ---
 
 
@@ -619,6 +627,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_dup": q_simhash_near_dup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_near_dup": q_embedding_near_dup,
+        "embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -735,6 +744,33 @@ _DUCK_NGRAM_JACCARD = (
     " SELECT a_id, b_id, round(shared / cast(na + nb - shared as double), 4) AS jaccard_r"
     " FROM shared WHERE shared / cast(na + nb - shared as double) >= 0.5"
 )
+
+
+def _duck_embedding_bucketed(min_cosine: float = 0.4, dim: int = 64) -> str:
+    """DuckDB mirror of ops.dedup.embedding_near_dup_bucketed: identical
+    ±1 hyperplanes (shared rp_band_exprs builder), identical integer
+    quantization, so the candidate sets match bit-for-bit; only the final
+    cosine is float (same construct both engines, like embedding_near_dup)."""
+    from .ops.dedup import RP_BANDS, RP_QUANT, rp_band_val_exprs, rp_bits_expr
+
+    band_vals = rp_band_val_exprs(one_based=True)
+    per_band = " UNION ALL ".join(
+        f"SELECT vec_id, embedding, {b} AS band_id, ({band_vals[b]}) AS band_val FROM bt"
+        for b in range(RP_BANDS)
+    )
+    return (
+        "WITH qt AS (SELECT vec_id, embedding,"
+        f" list_transform(embedding, x -> cast(round(x * {RP_QUANT}) as bigint)) AS q"
+        " FROM embeddings),"
+        f" bt AS (SELECT vec_id, embedding, {rp_bits_expr(dim, duck=True)} AS bits FROM qt),"
+        f" bands AS ({per_band}),"
+        " cand AS (SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id,"
+        "  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine"
+        "  FROM bands a JOIN bands b ON a.band_id = b.band_id"
+        "   AND a.band_val = b.band_val AND a.vec_id < b.vec_id)"
+        " SELECT a_id, b_id, round(cosine, 4) AS cosine_r FROM cand"
+        f" WHERE cosine >= {min_cosine}"
+    )
 
 
 # Shared island-decode CTE text for w3/a5 (DuckDB): token stream via zipped
@@ -931,6 +967,7 @@ def oracle_sql() -> dict[str, str]:
             " FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id"
             " WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4"
         ),
+        "embedding_near_dup_bucketed": _duck_embedding_bucketed(),
         "text_quality": (
             "WITH f AS (SELECT doc_id, text, length(text) AS n_chars,"
             "  CASE WHEN length(trim(text)) = 0 THEN 0"

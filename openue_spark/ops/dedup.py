@@ -250,9 +250,9 @@ def ngram_jaccard_pairs(
 def embedding_near_dup_pairs(embeddings: DataFrame, min_cosine: float = 0.95) -> DataFrame:
     """Brute-force cosine near-dup pairs over an embedding column.
 
-    Baseline (exact) variant; the LSH-bucketed scale path lives in
-    ops.similarity. O(n^2) within-partition compare via a self cross join —
-    acceptable as the verify/recall oracle, not the 100 TB path.
+    Baseline (exact) variant and the recall oracle for
+    `embedding_near_dup_bucketed` (the scale path). O(n^2) self cross
+    join — never the 100 TB path.
     """
     e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
     a = e.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("emb_a"))
@@ -266,4 +266,125 @@ def embedding_near_dup_pairs(embeddings: DataFrame, min_cosine: float = 0.95) ->
         .withColumn("cosine", dot / (na * nb))
         .where(F.col("cosine") >= min_cosine)
         .select("a_id", "b_id", F.round("cosine", 4).alias("cosine_r"))
+    )
+
+
+# --- sign-LSH bucketed embedding near-dup (the scale path) ---
+#
+# Random-hyperplane LSH with DATA-INDEPENDENT planes so the construction is
+# reproducible in plain SQL (the DuckDB oracle mirrors it literally):
+#   - plane j has components s_{j,d} in {+1, -1}, derived from md5("rp{j}#{d}")
+#     at import time (pure Python, no RNG state)
+#   - embeddings are quantized to integers q[d] = round(x * 1e6) so the
+#     per-plane dot products are exact integer sums — bit-identical across
+#     engines regardless of float summation order
+#   - bit_j = [ sum_d s_{j,d} * q[d] >= 0 ]; bits group into bands; vectors
+#     agreeing on ANY band are candidates; candidates are verified with the
+#     exact cosine before anything is reported (false positives never
+#     survive, misses are the documented recall tradeoff:
+#     P(bit agree) = 1 - theta/pi, band match = p^(bits/band), recall =
+#     1 - (1 - p^r)^bands — ~0.99 at cosine 0.95 with 4 bands of 4 bits).
+#
+# At scale: bucketing is a narrow per-row expression; the only shuffle is
+# the self-join on (band_id, band_val) whose fan-out is sum over buckets of
+# |bucket|^2 — n^2/2^r per band instead of the brute-force n^2, and r/bands
+# are dials. Pair dedup happens AFTER the verify (cheaper side, see
+# linking.py's measured lesson).
+
+RP_BITS = 16
+RP_BANDS = 4
+RP_QUANT = 1_000_000
+
+
+def _rp_sign(j: int, d: int) -> int:
+    import hashlib
+
+    h = int(hashlib.md5(f"rp{j}#{d}".encode()).hexdigest()[:8], 16)
+    return 1 if h % 2 == 0 else -1
+
+
+def rp_planes(dim: int, n_bits: int = RP_BITS) -> list[list[int]]:
+    return [[_rp_sign(j, d) for d in range(dim)] for j in range(n_bits)]
+
+
+def rp_bits_expr(dim: int, n_bits: int = RP_BITS, duck: bool = False) -> str:
+    """`bits` array expression over an integer array column `q`: bit j =
+    sign of <q, plane_j>. The planes are ARRAY LITERALS and the dot product
+    is a lambda fold — keeping the expression tree tiny (an unrolled
+    sum-of-1024-terms form blows the JVM 64KB codegen method limit and
+    forces interpreted fallback). DuckDB mirrors via list_dot_product
+    (double-typed, exact for these magnitudes: |dot| < 2^31 << 2^53)."""
+    if duck:
+        planes = ", ".join(
+            "[" + ",".join(str(s) for s in p) + "]" for p in rp_planes(dim, n_bits)
+        )
+        return (
+            f"list_transform([{planes}],"
+            " p -> CASE WHEN list_dot_product(q, p) >= 0 THEN 1 ELSE 0 END)"
+        )
+    planes = ", ".join(
+        "array(" + ",".join(str(s) for s in p) + ")" for p in rp_planes(dim, n_bits)
+    )
+    return (
+        f"transform(array({planes}), p -> CASE WHEN"
+        " aggregate(zip_with(q, p, (a, b) -> a * b), cast(0 as bigint),"
+        " (acc, x) -> acc + x) >= 0 THEN 1 ELSE 0 END)"
+    )
+
+
+def rp_band_val_exprs(
+    n_bits: int = RP_BITS, n_bands: int = RP_BANDS, one_based: bool = False
+) -> list[str]:
+    """Band-value expressions over the `bits` array column (MSB-first)."""
+    off = 1 if one_based else 0
+    r = n_bits // n_bands
+    return [
+        " + ".join(
+            f"bits[{b * r + i + off}] * {1 << (r - 1 - i)}" for i in range(r)
+        )
+        for b in range(n_bands)
+    ]
+
+
+def embedding_near_dup_bucketed(
+    embeddings: DataFrame,
+    min_cosine: float = 0.95,
+    dim: int = 64,
+    n_bits: int = RP_BITS,
+    n_bands: int = RP_BANDS,
+) -> DataFrame:
+    """Sign-LSH bucketed near-dup pairs: candidates from band agreement,
+    verified with the exact cosine. Same output columns as the brute-force
+    `embedding_near_dup_pairs`; recall < 1 by design (see module notes),
+    tested against the brute-force oracle in tests/test_ops.py."""
+    e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    q = e.withColumn(
+        "q", F.expr(f"transform(emb, x -> cast(round(x * {RP_QUANT}) as bigint))")
+    ).withColumn("bits", F.expr(rp_bits_expr(dim, n_bits)))
+    band_vals = rp_band_val_exprs(n_bits, n_bands)
+    banded = q.select(
+        "vec_id",
+        "emb",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band_id"),
+                    F.expr(band_vals[b]).alias("band_val"),
+                )
+                for b in range(n_bands)
+            ])
+        ).alias("bb"),
+    ).select("vec_id", "emb", "bb.band_id", "bb.band_val")
+    a = banded.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("emb_a"), "band_id", "band_val")
+    b = banded.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("emb_b"), "band_id", "band_val")
+    dot = F.expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    na = F.sqrt(F.expr("aggregate(transform(emb_a, x -> x * x), 0D, (acc, v) -> acc + v)"))
+    nb = F.sqrt(F.expr("aggregate(transform(emb_b, x -> x * x), 0D, (acc, v) -> acc + v)"))
+    return (
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", dot / (na * nb))
+        .where(F.col("cosine") >= min_cosine)
+        .select("a_id", "b_id", F.round("cosine", 4).alias("cosine_r"))
+        .dropDuplicates(["a_id", "b_id"])
     )

@@ -163,6 +163,30 @@ def test_embedding_near_dup_symmetric_threshold(spark, emb):
         assert r.a_id < r.b_id and r.cosine_r >= 0.5
 
 
+def test_embedding_bucketed_recall_vs_brute_force(spark):
+    """Sign-LSH bucketed near-dup must recover >= 90% of the brute-force
+    pairs at cosine 0.95 on a corpus with planted near-duplicates
+    (expected recall ~0.99 at 4 bands x 4 bits, P(bit)=1-theta/pi)."""
+    from openue_spark.ops.dedup import (
+        embedding_near_dup_bucketed,
+        embedding_near_dup_pairs,
+    )
+
+    rng = np.random.RandomState(23)
+    base = rng.randn(60, 64)
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    dups = base[::3] + 0.02 * rng.randn(20, 64)  # cosine ~0.99 with source
+    vecs = np.vstack([base, dups])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(len(vecs))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    brute = {(r.a_id, r.b_id) for r in embedding_near_dup_pairs(df, 0.95).collect()}
+    assert len(brute) >= 15  # plants really are near-dups
+    got = {(r.a_id, r.b_id) for r in embedding_near_dup_bucketed(df, 0.95, dim=64).collect()}
+    assert got <= brute  # exact-cosine verify: no false positives ever
+    assert len(got & brute) / len(brute) >= 0.9, f"recall {len(got & brute) / len(brute)}"
+
+
 def test_ivf_recall_vs_brute_force(spark, emb):
     from openue_spark.ops.similarity import brute_force_topk, ivf_topk, recall_at_k
 
