@@ -2,16 +2,23 @@
 
 - brute-force cosine top-k: the exact baseline (and recall oracle)
 - IVF top-k: the scale path — coarse-quantize vectors to the nearest of C
-  deterministic centroids (broadcast), search only the query's nprobe
-  closest buckets. At 100 TB this turns an all-pairs cross join into
+  DATA-AWARE centroids (broadcast), search only the query's nprobe closest
+  buckets. At 100 TB this turns an all-pairs cross join into
   (n/C * nprobe) candidate comparisons per query with a broadcastable
   centroid table; bucket assignment is a narrow map.
+
+Centroids come from `kmeans_centroids`: a deterministic hash-ordered sample
+(bounded rows to the driver) refined by spherical k-means in numpy with
+seeded init — data-aware bucket boundaries instead of the first-N vectors,
+reproducible across runs/partitionings because both the sample membership
+and the init depend only on vec_id hashes, never on partition order.
 
 Dot products use built-in array expressions (zip_with/aggregate — JVM-side).
 """
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -37,14 +44,68 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10) -> 
     )
 
 
-def assign_ivf_buckets(embeddings: DataFrame, n_centroids: int = 16) -> DataFrame:
-    """Coarse quantization: centroids = the first n_centroids vectors by
-    vec_id (deterministic seeds); every vector joins its nearest centroid.
-    Centroid table is tiny -> broadcast; assignment is one narrow pass."""
+def kmeans_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    sample_cap: int = 4096,
+    iters: int = 8,
+) -> DataFrame:
+    """Data-aware IVF centroids: spherical k-means over a deterministic
+    sample, returned as a tiny (centroid_id, cvec) DataFrame to broadcast.
+
+    - Sample = the sample_cap rows with the smallest xxhash64(vec_id) —
+      membership depends only on ids, so it is identical across runs,
+      partitionings, and executors (a distributed top-k, one shuffle of
+      sample_cap rows per partition).
+    - Lloyd iterations run in numpy on the driver (sample_cap x dim floats,
+      bounded memory); init = the first n_centroids sample rows in hash
+      order (pseudo-random spread, no RNG state). Cosine assignment +
+      renormalized means = spherical k-means, matching the cosine metric
+      used for bucket assignment and probing.
+    - Empty clusters are re-seeded deterministically from the sample tail.
+    """
     e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    centroids = e.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cvec")
+    sample = (
+        e.withColumn("h", F.xxhash64("vec_id"))
+        .orderBy("h", "vec_id")
+        .limit(sample_cap)
+        .collect()
     )
+    mat = np.array([r.emb for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    unit = mat / norms
+    c = min(n_centroids, len(unit))
+    cent = unit[:c].copy()
+    for _ in range(iters):
+        sims = unit @ cent.T
+        assign = np.argmax(sims, axis=1)
+        for j in range(c):
+            members = unit[assign == j]
+            if len(members) == 0:
+                # deterministic re-seed: farthest sample point from its centroid
+                worst = int(np.argmin(np.max(sims, axis=1)))
+                cent[j] = unit[worst]
+                continue
+            m = members.mean(axis=0)
+            n = np.linalg.norm(m)
+            cent[j] = m / n if n > 0 else m
+    rows = [(j, [float(x) for x in cent[j]]) for j in range(c)]
+    return embeddings.sparkSession.createDataFrame(
+        rows, "centroid_id int, cvec array<double>"
+    )
+
+
+def assign_ivf_buckets(
+    embeddings: DataFrame, n_centroids: int = 16, centroids: DataFrame | None = None
+) -> DataFrame:
+    """Coarse quantization: every vector joins its nearest centroid (cosine).
+    Centroid table is tiny -> broadcast; assignment is one narrow pass.
+    Centroids default to data-aware k-means (kmeans_centroids); pass a
+    precomputed (centroid_id, cvec) frame to share one fit across stages."""
+    e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    if centroids is None:
+        centroids = kmeans_centroids(embeddings, n_centroids)
     scored = e.crossJoin(F.broadcast(centroids)).withColumn(
         "c_sim", _cosine("emb", "cvec")
     )
@@ -62,14 +123,15 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k: search only the nprobe buckets whose centroids are
-    closest to the query. queries: (query_id, qvec)."""
-    e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    centroids = e.where(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), F.col("emb").alias("cvec")
-    )
-    bucketed = assign_ivf_buckets(embeddings, n_centroids)
+    closest to the query. queries: (query_id, qvec). One centroid fit is
+    shared by bucket assignment and query probing."""
+    if centroids is None:
+        centroids = kmeans_centroids(embeddings, n_centroids)
+    centroids = centroids.persist()
+    bucketed = assign_ivf_buckets(embeddings, n_centroids, centroids=centroids)
 
     qc = queries.crossJoin(F.broadcast(centroids)).withColumn(
         "c_sim", _cosine("qvec", "cvec")

@@ -194,12 +194,42 @@ def test_ivf_recall_vs_brute_force(spark, emb):
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
     exact = brute_force_topk(emb, queries, k=5)
+    # random gaussian vectors are IVF's worst case (no cluster structure);
+    # data-aware k-means centroids still hit 0.92 at half the buckets probed
     approx = ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=4)
     r = recall_at_k(approx, exact)
-    assert r >= 0.5, f"IVF recall {r} too low"
+    assert r >= 0.9, f"IVF recall {r} too low"
     # probing all buckets must recover everything
     full = ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=8)
     assert recall_at_k(full, exact) == 1.0
+
+
+def test_ivf_recall_on_clustered_data(spark):
+    """On realistically clustered embeddings, k-means centroids recover the
+    cluster structure: recall >= 0.9 probing only 2 of 8 buckets, and the
+    centroid fit is deterministic across repeated calls."""
+    from openue_spark.ops.similarity import (
+        brute_force_topk,
+        ivf_topk,
+        kmeans_centroids,
+        recall_at_k,
+    )
+
+    rng = np.random.RandomState(11)
+    centers = rng.randn(6, 16) * 3
+    pts = np.vstack([c + 0.3 * rng.randn(20, 16) for c in centers])
+    rows = [(i, [float(x) for x in pts[i]]) for i in range(len(pts))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").persist()
+    queries = df.where(F.col("vec_id") % 17 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    exact = brute_force_topk(df, queries, k=5)
+    approx = ivf_topk(df, queries, k=5, n_centroids=8, nprobe=2)
+    assert recall_at_k(approx, exact) >= 0.9
+
+    c1 = sorted(map(tuple, (r.cvec for r in kmeans_centroids(df, 8).collect())))
+    c2 = sorted(map(tuple, (r.cvec for r in kmeans_centroids(df, 8).collect())))
+    assert c1 == c2
 
 
 def test_text_ops_edge_cases(spark):
