@@ -585,6 +585,57 @@ def q_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     full stage at a reduced, documented turn count to keep verify fast) ---
 
 
+# --- linking relational core, oracle-checked (VERDICT r01 item 4): the
+#     banded-MinHash blocking + exact-Jaccard verify and the min-label
+#     connected components ARE SQL-expressible, so they get DuckDB oracles
+#     over a documents-derived mention fixture (distinct tokens plus a
+#     pluralized variant of each, so near-duplicate surface forms exist).
+#     mention_id = the mention string itself here: ids must sort the same
+#     way in both engines (the production path uses xxhash64 ids, covered
+#     rows-only by link_canonical_triples). ---
+
+
+def _mention_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("mention"))
+        .where(F.length("mention") >= 3)
+        .distinct()
+    )
+    plants = toks.select(F.concat(F.col("mention"), F.lit("s")).alias("mention"))
+    return (
+        toks.unionByName(plants)
+        .distinct()
+        .withColumn("mention_id", F.col("mention"))
+    )
+
+
+def q_link_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.linking import candidate_pairs_banded
+
+    pairs = candidate_pairs_banded(
+        _mention_fixture(spark, sf_dir), jaccard_distance=0.6
+    )
+    return pairs.select(
+        F.col("a_id").alias("a_mention"),
+        F.col("b_id").alias("b_mention"),
+        F.round("jaccard_dist", 4).alias("jaccard_dist_r"),
+    )
+
+
+def q_link_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.linking import candidate_pairs_banded, connected_components
+
+    mentions = _mention_fixture(spark, sf_dir)
+    edges = candidate_pairs_banded(mentions, jaccard_distance=0.6).select(
+        "a_id", "b_id"
+    )
+    labels = connected_components(mentions.select("mention_id"), edges)
+    return labels.select(
+        F.col("mention_id").alias("mention"), F.col("label").alias("component")
+    )
+
+
 def q_link_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import extract_triples
     from .pipeline.linking import canonical_triples, link_entities
@@ -621,6 +672,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_lang_id": q_text_lang_id,
         "ann_cosine_topk": q_ann_cosine_topk,
         "extract_triples": q_extract_triples,
+        "link_blocking_pairs": q_link_blocking_pairs,
+        "link_connected_components": q_link_connected_components,
         "link_canonical_triples": q_link_canonical_triples,
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "minhash_dedup_keep": q_minhash_dedup_keep,
@@ -743,6 +796,72 @@ _DUCK_NGRAM_JACCARD = (
     "  ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)"
     " SELECT a_id, b_id, round(shared / cast(na + nb - shared as double), 4) AS jaccard_r"
     " FROM shared WHERE shared / cast(na + nb - shared as double) >= 0.5"
+)
+
+
+# --- DuckDB mirror of the linking relational core (char-3-gram shingles,
+#     16 md5 min-hashes in 8 two-row bands, exact-Jaccard verify at
+#     jaccard_dist <= 0.6 — the literal scheme of
+#     pipeline.linking.candidate_pairs_banded). The Spark side verifies on
+#     xxhash64-hashed shingles; Jaccard values are identical barring a
+#     64-bit hash collision inside one mention's trigram set. ---
+
+_LINK_N_HASHES = 16
+_LINK_N_BANDS = 8
+
+
+def _duck_link_base() -> str:
+    sig_cols = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5(s || '#{i}'))) AS sig{i}"
+        for i in range(_LINK_N_HASHES)
+    )
+    rows_per_band = _LINK_N_HASHES // _LINK_N_BANDS
+    band_union = " UNION ALL ".join(
+        "SELECT mention, {b} AS band_id, md5({parts}) AS band_hash FROM sigs".format(
+            b=b,
+            parts=" || '|' || ".join(
+                f"sig{b * rows_per_band + r}" for r in range(rows_per_band)
+            ),
+        )
+        for b in range(_LINK_N_BANDS)
+    )
+    return (
+        "toks AS (SELECT DISTINCT unnest(regexp_split_to_array(trim(lower(text)),"
+        " '\\s+')) AS mention FROM documents),"
+        " base AS (SELECT mention FROM toks WHERE length(mention) >= 3),"
+        " mentions AS (SELECT DISTINCT mention FROM"
+        "  (SELECT mention FROM base UNION ALL SELECT mention || 's' FROM base)),"
+        " sh AS (SELECT mention, list_distinct(list_transform("
+        "  range(1, greatest(1, length(mention) - 2) + 1),"
+        "  i -> substr(mention, i, 3))) AS shingles FROM mentions),"
+        f" sigs AS (SELECT mention, {sig_cols} FROM sh),"
+        f" bands AS ({band_union}),"
+        " cand AS (SELECT DISTINCT a.mention AS a_m, b.mention AS b_m"
+        "  FROM bands a JOIN bands b ON a.band_id = b.band_id"
+        "  AND a.band_hash = b.band_hash AND a.mention < b.mention),"
+        " verified AS (SELECT a_m, b_m,"
+        "  1 - (len(list_intersect(sa.shingles, sb.shingles)) /"
+        "   cast(len(sa.shingles) + len(sb.shingles)"
+        "    - len(list_intersect(sa.shingles, sb.shingles)) as double)) AS jd"
+        "  FROM cand JOIN sh sa ON sa.mention = a_m JOIN sh sb ON sb.mention = b_m)"
+    )
+
+
+_DUCK_LINK_PAIRS = (
+    f"WITH {_duck_link_base()}"
+    " SELECT a_m AS a_mention, b_m AS b_mention, round(jd, 4) AS jaccard_dist_r"
+    " FROM verified WHERE jd <= 0.6"
+)
+
+_DUCK_LINK_CC = (
+    f"WITH RECURSIVE {_duck_link_base()},"
+    " edges AS (SELECT a_m AS src, b_m AS dst FROM verified WHERE jd <= 0.6"
+    "  UNION SELECT b_m, a_m FROM verified WHERE jd <= 0.6),"
+    " walk(node, label) AS ("
+    "  SELECT mention, mention FROM mentions"
+    "  UNION"
+    "  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node)"
+    " SELECT node AS mention, min(label) AS component FROM walk GROUP BY node"
 )
 
 
@@ -956,6 +1075,8 @@ def oracle_sql() -> dict[str, str]:
             " FROM orders JOIN customer ON o_custkey = c_custkey"
             " GROUP BY c_mktsegment, o_orderstatus"
         ),
+        "link_blocking_pairs": _DUCK_LINK_PAIRS,
+        "link_connected_components": _DUCK_LINK_CC,
         "minhash_verified_pairs": _DUCK_MINHASH_PAIRS,
         "minhash_dedup_keep": _DUCK_MINHASH_KEEP,
         "simhash_near_dup": _DUCK_SIMHASH,
