@@ -396,6 +396,44 @@ def q_p3_empty_gold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- P4 end-to-end: gold spo_list -> BIO-aligned NER features with the
+#     unlocatable-group drop (reference utils.py:387-546). Gold is
+#     synthesized deterministically from each document's own tokens: rel_a
+#     (2nd token -> last two tokens), rel_b (first two tokens -> last
+#     token), and rel_c whose subject never occurs — every rel_c group must
+#     be dropped by the P4 filter on BOTH engines. ---
+
+
+def q_p4_gold_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.features import TOKEN_REGEX_SQL, build_gold_ner_features
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.expr(f"regexp_extract_all(lower(text), '{TOKEN_REGEX_SQL}', 0)")
+    corpus = (
+        docs.select(F.col("doc_id").alias("text_id"), "text", toks.alias("tk"))
+        .where(F.size("tk") >= 4)
+        .select(
+            "text_id",
+            "text",
+            F.expr(
+                "array("
+                " struct(element_at(tk, 2) AS subject, 'rel_a' AS predicate,"
+                "  concat(element_at(tk, -2), ' ', element_at(tk, -1)) AS object),"
+                " struct(concat(element_at(tk, 1), ' ', element_at(tk, 2)) AS subject,"
+                "  'rel_b' AS predicate, element_at(tk, -1) AS object),"
+                " struct('zzzmissing' AS subject, 'rel_c' AS predicate,"
+                "  element_at(tk, 1) AS object))"
+            ).alias("gold"),
+        )
+    )
+    feats = build_gold_ner_features(corpus)
+    return feats.select(
+        F.col("text_id").alias("doc_id"),
+        "pred",
+        F.array_join("labels", " ").alias("label_seq"),
+    )
+
+
 # --- J2: token-subsequence locate, both reference variants
 #         (utils.py:414-419 breaks one early — misses a match flush with the
 #          end of the sentence; utils.py:564-569 is inclusive/correct) ---
@@ -660,6 +698,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a4_micro_prf_counts": q_a4_micro_prf_counts,
         "u4_marker_splice": q_u4_marker_splice,
         "p3_empty_gold_filter": q_p3_empty_gold_filter,
+        "p4_gold_alignment": q_p4_gold_alignment,
         "j2_token_locate": q_j2_token_locate,
         "w3_span_islands": q_w3_span_islands,
         "w4_suffix_slice": q_w4_suffix_slice,
@@ -796,6 +835,49 @@ _DUCK_NGRAM_JACCARD = (
     "  ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)"
     " SELECT a_id, b_id, round(shared / cast(na + nb - shared as double), 4) AS jaccard_r"
     " FROM shared WHERE shared / cast(na + nb - shared as double) >= 0.5"
+)
+
+
+# --- DuckDB mirror of the P4 gold-alignment builder (NER-variant locate:
+#     max start = |hay| - |needle|; object labels beat subject labels; tail
+#     CLS/SEP/Relation/SEP beats both; unlocatable group -> dropped). ---
+
+_P4_TOKEN_REGEX = "[a-z0-9_]+|[^a-z0-9_\\s]"
+
+
+def _duck_locate(ndl: str) -> str:
+    return (
+        f"list_filter(range(1, greatest(len(hay) - len({ndl}), 0) + 1),"
+        f" i -> hay[i:i+len({ndl})-1] = {ndl})[1]"
+    )
+
+
+_DUCK_P4 = (
+    "WITH base AS (SELECT doc_id,"
+    f" (regexp_extract_all(lower(text), '{_P4_TOKEN_REGEX}'))[1:252] AS tk"
+    f" FROM documents WHERE len(regexp_extract_all(lower(text), '{_P4_TOKEN_REGEX}')) >= 4),"
+    " g AS ("
+    "  SELECT doc_id, tk, 'rel_a' AS pred, [tk[2]] AS subj, tk[-2:] AS obj FROM base"
+    "  UNION ALL SELECT doc_id, tk, 'rel_b', tk[1:2], [tk[-1]] FROM base"
+    "  UNION ALL SELECT doc_id, tk, 'rel_c', ['zzzmissing'], [tk[1]] FROM base),"
+    " h AS (SELECT doc_id, pred, subj, obj,"
+    "  ['[CLS]'] || tk || ['[SEP]', '[' || pred || ']', '[SEP]'] AS hay FROM g),"
+    " locs AS (SELECT doc_id, pred, hay,"
+    f"  {_duck_locate('subj')} AS spos, len(subj) AS slen,"
+    f"  {_duck_locate('obj')} AS opos, len(obj) AS olen FROM h),"
+    " lab AS (SELECT doc_id, pred, list_transform(range(1, len(hay) + 1),"
+    "  p -> CASE"
+    "   WHEN p = 1 THEN 'CLS'"
+    "   WHEN p = len(hay) THEN 'SEP'"
+    "   WHEN p = len(hay) - 1 THEN 'Relation'"
+    "   WHEN p = len(hay) - 2 THEN 'SEP'"
+    "   WHEN p = opos THEN 'B-OBJ'"
+    "   WHEN p > opos AND p < opos + olen THEN 'I-OBJ'"
+    "   WHEN p = spos THEN 'B-SUB'"
+    "   WHEN p > spos AND p < spos + slen THEN 'I-SUB'"
+    "   ELSE 'O' END) AS labels"
+    "  FROM locs WHERE spos IS NOT NULL AND opos IS NOT NULL)"
+    " SELECT doc_id, pred, array_to_string(labels, ' ') AS label_seq FROM lab"
 )
 
 
@@ -1035,6 +1117,7 @@ def oracle_sql() -> dict[str, str]:
             " THEN event_type END) AS n_gold FROM events GROUP BY user_id"
             " HAVING count(DISTINCT CASE WHEN value > 120.0 THEN event_type END) > 0"
         ),
+        "p4_gold_alignment": _DUCK_P4,
         "j2_token_locate": (
             "WITH base AS (SELECT doc_id,"
             " regexp_split_to_array(trim(lower(text)), '\\s+') AS toks"

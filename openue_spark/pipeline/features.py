@@ -1,0 +1,174 @@
+"""P4 end-to-end: gold `spo_list` -> token-aligned BIO NER features.
+
+Replicates the reference's NER training-feature builder,
+`convert_examples_to_ner_features` (/root/reference/src/openue/data/utils.py:387-546):
+
+- triples grouped per (sentence, relation) — A2 (utils.py:431-443)
+- tokenize the lowered text, then append the relation marker + [SEP] to the
+  id sequence BEFORE any label alignment (utils.py:462-473): the haystack
+  every entity is located in is `[CLS] w1..wn [SEP] <marker> [SEP]`
+- locate every subject/object token subsequence with the NER-variant
+  `find_word_in_texts` (utils.py:414-419): the scan BREAKS when
+  i + len(needle) >= len(haystack), so a match flush with the haystack end
+  is never found (the interactive variant, utils.py:564-569, uses the
+  inclusive `<=` bound). Inside this builder the bug is latent — the two
+  appended tail tokens keep real entities away from the end — but the
+  variant is replicated exactly (tests pin both behaviors).
+- label subjects first, then objects; each span writes I-* over its range
+  and B-* at its start, so LATER writes overwrite earlier ones on overlap
+  (utils.py:484-508). Expressed position-wise: last covering object wins,
+  else last covering subject, else 'O'.
+- stamp the tail AFTER entity labels: CLS at 0, SEP/Relation/SEP at the
+  last three positions (utils.py:509-514) — the tail overwrites entities.
+- DROP the whole (sentence, relation) group if ANY subject or object is
+  unlocatable (utils.py:486-494,497-508); sentences with empty gold
+  contribute nothing (P3, utils.py:368-369).
+
+Everything is built-in array expressions — the relation fan-out is
+row-local, label alignment is a position transform, word ids are
+crc32-hashed in the JVM (Spark `crc32` == zlib.crc32 == tokenizer.word_id).
+Zero shuffles end to end; parallelism = input partitions; SQL-expressible,
+so the driver checks it against a DuckDB oracle (`p4_gold_alignment`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import (
+    CLS_ID,
+    MAX_SEQ_LENGTH,
+    NER_LABEL_TO_ID,
+    PREDICATES,
+    REL_TOKEN_BASE,
+    SEP_ID,
+    VOCAB_BASE,
+    VOCAB_HASH_SIZE,
+)
+
+# tokenizer._TOKEN_RE over lowercased text. TOKEN_REGEX is the true pattern
+# (usable verbatim in a DuckDB string literal); Spark SQL literals process
+# backslash escapes, so F.expr sites embed TOKEN_REGEX_SQL instead.
+TOKEN_REGEX = r"[a-z0-9_]+|[^a-z0-9_\s]"
+TOKEN_REGEX_SQL = TOKEN_REGEX.replace("\\", "\\\\")
+
+# words kept per sentence: max_length = MAX_SEQ_LENGTH - 2 (NER variant,
+# utils.py:462-467) minus the two specials added by the tokenizer
+MAX_WORDS = MAX_SEQ_LENGTH - 4
+
+
+def locate_expr(hay: str, needle: str, variant: str = "ner") -> str:
+    """1-based first-match position of token-array `needle` in `hay`, NULL
+    if absent — as a SQL expression string over array columns.
+
+    variant='ner'   : reference utils.py:414-419 — break at
+                      i + len >= len(hay); a match ending flush with the
+                      haystack end is MISSED (max start = |hay| - |needle|).
+    variant='interactive': utils.py:564-569 — inclusive bound; max start =
+                      |hay| - |needle| + 1 (the whole haystack is searchable).
+    """
+    slack = 0 if variant == "ner" else 1
+    d = f"(size({hay}) - size({needle}) + {slack})"
+    return (
+        f"try_element_at(filter(sequence(1, greatest({d}, 1)),"
+        f" i -> i <= {d} AND slice({hay}, i, size({needle})) == {needle}), 1)"
+    )
+
+
+def _span_label(locs: str, b_tag: str, i_tag: str) -> str:
+    """Label for position p from the LAST span in `locs` covering p (NULL if
+    none) — the positional phrasing of the reference's overwrite-in-order."""
+    return (
+        f"try_element_at(transform(filter({locs},"
+        f" x -> p >= x.pos AND p < x.pos + x.len),"
+        f" x -> CASE WHEN p = x.pos THEN '{b_tag}' ELSE '{i_tag}' END), -1)"
+    )
+
+
+def build_gold_ner_features(corpus: DataFrame) -> DataFrame:
+    """(text_id, text, gold array<struct<subject,predicate,object>>) ->
+    one row per surviving (text_id, predicate) group:
+    (text_id, pred, hay, labels, input_ids, label_ids).
+    """
+    base = corpus.where(F.size("gold") > 0)
+    toks = base.select(
+        "text_id",
+        "gold",
+        F.expr(
+            f"slice(regexp_extract_all(lower(text), '{TOKEN_REGEX_SQL}', 0), 1, {MAX_WORDS})"
+        ).alias("toks"),
+    )
+    fanned = toks.select(
+        "text_id",
+        "toks",
+        "gold",
+        F.explode(F.expr("array_distinct(transform(gold, g -> g.predicate))")).alias(
+            "pred"
+        ),
+    )
+    grouped = fanned.select(
+        "text_id",
+        "pred",
+        F.expr("concat(array('[CLS]'), toks, array('[SEP]', concat('[', pred, ']'), '[SEP]'))").alias(
+            "hay"
+        ),
+        F.expr(
+            "transform(filter(gold, g -> g.predicate = pred),"
+            f" g -> regexp_extract_all(lower(g.subject), '{TOKEN_REGEX_SQL}', 0))"
+        ).alias("subj_toks"),
+        F.expr(
+            "transform(filter(gold, g -> g.predicate = pred),"
+            f" g -> regexp_extract_all(lower(g.object), '{TOKEN_REGEX_SQL}', 0))"
+        ).alias("obj_toks"),
+    )
+    loc = lambda arr: (  # noqa: E731 — span structs for every entity in arr
+        f"transform({arr}, s -> struct({locate_expr('hay', 's', 'ner')} AS pos,"
+        f" size(s) AS len))"
+    )
+    located = grouped.select(
+        "text_id",
+        "pred",
+        "hay",
+        F.expr(loc("subj_toks")).alias("sub_locs"),
+        F.expr(loc("obj_toks")).alias("obj_locs"),
+    )
+    # P4 drop: any unlocatable subject or object kills the whole group
+    survivors = located.where(
+        ~F.expr("exists(sub_locs, x -> x.pos IS NULL)")
+        & ~F.expr("exists(obj_locs, x -> x.pos IS NULL)")
+    )
+    labels = survivors.withColumn(
+        "labels",
+        F.expr(
+            "transform(sequence(1, size(hay)), p -> CASE"
+            " WHEN p = 1 THEN 'CLS'"
+            " WHEN p = size(hay) THEN 'SEP'"
+            " WHEN p = size(hay) - 1 THEN 'Relation'"
+            " WHEN p = size(hay) - 2 THEN 'SEP'"
+            f" ELSE coalesce({_span_label('obj_locs', 'B-OBJ', 'I-OBJ')},"
+            f" {_span_label('sub_locs', 'B-SUB', 'I-SUB')}, 'O') END)"
+        ),
+    )
+    # word ids: JVM crc32 == zlib.crc32 == tokenizer.word_id; marker ids
+    # follow config REL_TOKEN_BASE for schema predicates, hash-extended
+    # deterministically for out-of-schema predicates.
+    marker_map = ", ".join(
+        f"'[{p}]', {REL_TOKEN_BASE + i}" for i, p in enumerate(PREDICATES)
+    )
+    label_map = ", ".join(f"'{k}', {v}" for k, v in NER_LABEL_TO_ID.items())
+    return labels.select(
+        "text_id",
+        "pred",
+        "hay",
+        "labels",
+        F.expr(
+            "transform(hay, w -> CASE"
+            f" WHEN w = '[CLS]' THEN {CLS_ID}"
+            f" WHEN w = '[SEP]' THEN {SEP_ID}"
+            f" WHEN w RLIKE '^\\\\[.+\\\\]$' THEN coalesce(map({marker_map})[w],"
+            f"  {REL_TOKEN_BASE} + 1000 + pmod(crc32(w), 1000))"
+            f" ELSE {VOCAB_BASE} + pmod(crc32(w), {VOCAB_HASH_SIZE}) END)"
+        ).alias("input_ids"),
+        F.expr(f"transform(labels, l -> map({label_map})[l])").alias("label_ids"),
+    )

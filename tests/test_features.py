@@ -1,0 +1,127 @@
+"""P4 gold-feature builder: BIO alignment, locate variants, drops.
+
+Golden cases pin the reference semantics of
+convert_examples_to_ner_features (reference utils.py:387-546), including
+the NER-variant find_word_in_texts off-by-one (utils.py:414-419).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+CORPUS_SCHEMA = (
+    "text_id long, text string,"
+    " gold array<struct<subject string, predicate string, object string>>"
+)
+
+
+def _build(spark, rows):
+    from openue_spark.pipeline.features import build_gold_ner_features
+
+    df = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    return {
+        (r.text_id, r.pred): r for r in build_gold_ner_features(df).collect()
+    }
+
+
+def test_locate_variants_flush_with_end(spark):
+    """NER variant breaks at i+len >= len(hay) (utils.py:417) so a match
+    flush with the haystack end is missed; the interactive variant
+    (utils.py:564-569) finds it."""
+    from openue_spark.pipeline.features import locate_expr
+
+    t = spark.createDataFrame(
+        [(["a", "b", "c"], ["b", "c"]), (["a", "b", "c"], ["a", "b"]),
+         (["a", "b", "c"], ["z"])],
+        "hay array<string>, ndl array<string>",
+    )
+    got = t.select(
+        F.expr(locate_expr("hay", "ndl", "ner")).alias("ner"),
+        F.expr(locate_expr("hay", "ndl", "interactive")).alias("inter"),
+    ).collect()
+    assert (got[0].ner, got[0].inter) == (None, 2)  # flush with end
+    assert (got[1].ner, got[1].inter) == (1, 1)
+    assert (got[2].ner, got[2].inter) == (None, None)
+
+
+def test_golden_bio_alignment(spark):
+    rows = [(0, "alpha beta gamma delta", [("beta", "works_at", "gamma delta")])]
+    out = _build(spark, rows)
+    r = out[(0, "works_at")]
+    # hay = [CLS] alpha beta gamma delta [SEP] [works_at] [SEP]
+    assert r.hay == ["[CLS]", "alpha", "beta", "gamma", "delta", "[SEP]", "[works_at]", "[SEP]"]
+    assert r.labels == ["CLS", "O", "B-SUB", "B-OBJ", "I-OBJ", "SEP", "Relation", "SEP"]
+
+
+def test_entity_at_text_end_is_still_located(spark):
+    """The off-by-one is latent inside the builder: the appended
+    [SEP] marker [SEP] tail keeps a text-final entity off the haystack end
+    (reference extends input_ids BEFORE labeling, utils.py:469-473)."""
+    rows = [(0, "alpha beta gamma", [("alpha", "works_at", "beta gamma")])]
+    r = _build(spark, rows)[(0, "works_at")]
+    assert r.labels == ["CLS", "B-SUB", "B-OBJ", "I-OBJ", "SEP", "Relation", "SEP"]
+
+
+def test_object_overwrites_subject_on_overlap(spark):
+    """Subjects are labeled first, objects second — an overlapping object
+    span overwrites subject labels (utils.py:484-508)."""
+    rows = [(0, "alpha beta gamma delta", [("beta gamma", "works_at", "gamma delta")])]
+    r = _build(spark, rows)[(0, "works_at")]
+    assert r.labels == ["CLS", "O", "B-SUB", "B-OBJ", "I-OBJ", "SEP", "Relation", "SEP"]
+
+
+def test_later_subject_overwrites_earlier(spark):
+    """Two subjects for the same relation, overlapping: the later write
+    wins position-by-position (list order = gold order)."""
+    rows = [(0, "alpha beta gamma delta", [
+        ("alpha beta gamma", "works_at", "delta"),
+        ("beta", "works_at", "delta"),
+    ])]
+    r = _build(spark, rows)[(0, "works_at")]
+    # S1 labels alpha..gamma B,I,I; S2 then stamps B-SUB at beta
+    assert r.labels == ["CLS", "B-SUB", "B-SUB", "I-SUB", "B-OBJ", "SEP", "Relation", "SEP"]
+
+
+def test_unlocatable_group_dropped_and_others_kept(spark):
+    rows = [(0, "alpha beta gamma delta", [
+        ("beta", "works_at", "delta"),
+        ("zzz", "born_in", "alpha"),  # unlocatable subject -> drop group
+    ])]
+    out = _build(spark, rows)
+    assert (0, "works_at") in out
+    assert (0, "born_in") not in out
+
+
+def test_empty_gold_sentence_contributes_nothing(spark):
+    rows = [(0, "alpha beta", []), (1, "alpha beta", [("alpha", "works_at", "beta")])]
+    out = _build(spark, rows)
+    assert set(out) == {(1, "works_at")}
+
+
+def test_input_ids_match_tokenizer(spark):
+    """JVM crc32 word ids must equal tokenizer.word_id; specials and the
+    relation marker follow config."""
+    from openue_spark.config import CLS_ID, REL2ID, REL_TOKEN_BASE, SEP_ID
+    from openue_spark.tokenizer import word_id
+
+    rows = [(0, "alpha beta gamma", [("alpha", "works_at", "gamma")])]
+    r = _build(spark, rows)[(0, "works_at")]
+    expect = (
+        [CLS_ID]
+        + [word_id(w) for w in ["alpha", "beta", "gamma"]]
+        + [SEP_ID, REL_TOKEN_BASE + REL2ID["works_at"], SEP_ID]
+    )
+    assert r.input_ids == expect
+    from openue_spark.config import NER_LABEL_TO_ID
+
+    assert r.label_ids == [NER_LABEL_TO_ID[label] for label in r.labels]
+
+
+def test_multi_relation_fanout(spark):
+    rows = [(0, "alpha beta gamma delta", [
+        ("beta", "works_at", "delta"),
+        ("alpha", "born_in", "gamma"),
+    ])]
+    out = _build(spark, rows)
+    assert set(out) == {(0, "works_at"), (0, "born_in")}
+    assert out[(0, "works_at")].hay[-2] == "[works_at]"
+    assert out[(0, "born_in")].hay[-2] == "[born_in]"
