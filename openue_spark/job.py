@@ -74,10 +74,23 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             )
 
     from openue_spark.fixtures import transcripts_spark
+    from openue_spark.mock_models import MockWeights
+    from openue_spark.pipeline.artifacts import write_checkpoint, write_run_config
     from openue_spark.pipeline.linking import canonical_triples, link_entities
     from openue_spark.pipeline.materialize import run_extraction_resumable, write_triple_table
 
     t0 = time.time()
+    # S6: every run records its resolved args + effective Spark conf first —
+    # reproducibility before any data moves (reference main.py:76-84).
+    run_id = __import__("uuid").uuid4().hex[:12]
+    write_run_config(spark, args.out, vars(args), run_id)
+    # S5: record the exact weights bundle this run extracts with (the
+    # broadcast seam's provenance; reference persists best model+config,
+    # main.py:101-109 — inference-only here, so metric marks "deployed").
+    write_checkpoint(
+        spark, args.out, MockWeights.default(), metric=1.0, step=0,
+        checkpoint_id=f"{run_id}-deployed",
+    )
     if args.input:
         transcripts = spark.read.parquet(args.input)
     else:
