@@ -94,22 +94,63 @@ def _fake_feature(payload: bytes, dim: int = FEATURE_DIM) -> np.ndarray:
     return vec / n if n > 0 else vec
 
 
-def decode_features(media: DataFrame, fake: bool = True) -> DataFrame:
+def default_decoder(payload: bytes, kind: str) -> np.ndarray:
+    """The real-codec integration seam.
+
+    Contract: (payload bytes, kind) -> float64 feature vector of length
+    FEATURE_DIM. A deployment with media libraries installs its own decoder
+    by passing `decoder=` to decode_features, e.g.::
+
+        def pil_decoder(payload, kind):
+            img = PIL.Image.open(io.BytesIO(payload)).convert("RGB")
+            arr = np.asarray(img.resize((8, 8)), dtype=np.float64)
+            vec = arr.mean(axis=2).ravel()[:FEATURE_DIM]
+            return vec / (np.linalg.norm(vec) or 1.0)
+
+        decode_features(media, fake=False, decoder=pil_decoder)
+
+    The decoder runs INSIDE the Arrow batch loop on executors: ship it in a
+    --py-files module (pickled by reference) or define it locally so
+    cloudpickle serializes it by value; either way it must not capture
+    driver-side resources or touch the filesystem per call. This default
+    probes for PIL/soundfile/av and raises with guidance when none is
+    present (this container ships none, by design).
+    """
+    for mod in ("PIL", "soundfile", "av"):
+        try:
+            __import__(mod)
+        except ImportError:
+            continue
+        raise NotImplementedError(
+            f"{mod} is importable — wire a {mod}-backed decoder via "
+            "decode_features(media, fake=False, decoder=...); see the "
+            "default_decoder docstring for the contract"
+        )
+    raise NotImplementedError(
+        "real media decode needs an image/audio library (PIL, soundfile, or "
+        "av — none importable here); pass decoder=<your fn> to "
+        "decode_features(fake=False) or use fake=True for the deterministic "
+        "stand-in"
+    )
+
+
+def decode_features(media: DataFrame, fake: bool = True, decoder=None) -> DataFrame:
     """payload binary -> feature vector, Arrow-batched.
 
-    fake=False marks where a real decoder (PIL.Image.open / soundfile /
-    pyav) would run; unavailable in this container by design.
+    fake=True uses the deterministic hash stand-in; fake=False calls
+    `decoder` (default: `default_decoder`, which documents the real-codec
+    seam and raises until a library-backed decoder is supplied).
     """
+    decode = _fake_feature if fake else (decoder or default_decoder)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires PIL/soundfile/pyav (not in container); "
-                    "use fake=True for the deterministic stand-in"
-                )
             payloads = pdf["payload"].to_numpy()
-            feats = [_fake_feature(bytes(p)) for p in payloads]
+            if fake:
+                feats = [_fake_feature(bytes(p)) for p in payloads]
+            else:
+                kinds = pdf["kind"].to_numpy()
+                feats = [decode(bytes(p), str(k)) for p, k in zip(payloads, kinds)]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"].to_numpy(),

@@ -266,9 +266,16 @@ def test_multimodal_plumbing(spark):
     assert {r.media_id: tuple(r.feature) for r in feats} == {
         r.media_id: tuple(r.feature) for r in again
     }
-    # real-decode path is an explicit stub
+    # real-decode path is an explicit stub with guidance
     with pytest.raises(Exception, match="NotImplementedError|real media decode"):
         decode_features(media, fake=False).collect()
+    # ...and a real integration seam: an injected decoder is actually used
+    # (local def -> cloudpickled by value, so no executor import needed)
+    def unit_decoder(payload, kind):
+        return [1.0] + [0.0] * 15
+
+    feats2 = decode_features(media, fake=False, decoder=unit_decoder).collect()
+    assert all(r.feature == [1.0] + [0.0] * 15 for r in feats2)
     rp = resize_plan(media, max_side=256).collect()
     assert all(max(r.new_width, r.new_height) <= 256 or r.scale == 1.0 for r in rp)
     fs = frame_sample_plan(media, fps=1.0).collect()
