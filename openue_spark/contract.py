@@ -608,6 +608,69 @@ def q_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- relational breadth: window top-k per group, anti join, rollup ---
+#     (beyond the reference's operator set — engine-breadth queries the
+#     north rule's KG store needs: per-key top-k, set difference, and
+#     hierarchical aggregates over the warehouse-shaped driver tables)
+
+
+def q_window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer: the canonical window top-k.
+    One shuffle on o_custkey; rank ties broken by o_orderkey for a total
+    deterministic order."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "rnk",
+            F.round(F.col("o_totalprice").cast("decimal(18,2)"), 2)
+            .cast("double")
+            .alias("price"),
+        )
+    )
+
+
+def q_anti_join_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no finished ('F') orders: filter-then-left-anti join
+    (the status filter pushes to the orders scan; AQE broadcasts the
+    distinct key side when it fits). Non-empty at every driver sf."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return cust.join(orders, "c_custkey", "left_anti")
+
+
+def q_rollup_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """region -> nation rollup over a 4-table join chain (two broadcast
+    dims + one fact join), hierarchical totals with grand total."""
+    region = _t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    nation = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_regionkey", "n_name"
+    )
+    cust = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    joined = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2)
+        .cast("double")
+        .alias("revenue"),
+    )
+
+
 # --- full extraction pipeline (mock forwards — rows-only check) ---
 
 
@@ -706,6 +769,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a6_multilabel_prf_by_relation": q_a6_multilabel_prf_by_relation,
         "agg_pricing_summary": q_agg_pricing_summary,
         "join_segment_revenue": q_join_segment_revenue,
+        "window_topk_orders": q_window_topk_orders,
+        "anti_join_quiet_customers": q_anti_join_quiet_customers,
+        "rollup_region_revenue": q_rollup_region_revenue,
         "dedup_exact": q_dedup_exact,
         "text_token_count": q_text_token_count,
         "text_lang_id": q_text_lang_id,
@@ -1160,6 +1226,26 @@ def oracle_sql() -> dict[str, str]:
         ),
         "link_blocking_pairs": _DUCK_LINK_PAIRS,
         "link_connected_components": _DUCK_LINK_CC,
+        "window_topk_orders": (
+            "SELECT o_custkey, o_orderkey, rnk,"
+            " round(cast(o_totalprice AS decimal(18,2)), 2)::DOUBLE AS price FROM ("
+            " SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER ("
+            "  PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC"
+            " ) AS rnk FROM orders) WHERE rnk <= 3"
+        ),
+        "anti_join_quiet_customers": (
+            "SELECT c_custkey, c_mktsegment FROM customer"
+            " WHERE c_custkey NOT IN"
+            " (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')"
+        ),
+        "rollup_region_revenue": (
+            "SELECT r_name, n_name, count(*) AS n_orders,"
+            " round(sum(cast(o_totalprice AS decimal(18,2))), 2)::DOUBLE AS revenue"
+            " FROM orders JOIN customer ON o_custkey = c_custkey"
+            " JOIN nation ON c_nationkey = n_nationkey"
+            " JOIN region ON n_regionkey = r_regionkey"
+            " GROUP BY ROLLUP (r_name, n_name)"
+        ),
         "minhash_verified_pairs": _DUCK_MINHASH_PAIRS,
         "minhash_dedup_keep": _DUCK_MINHASH_KEEP,
         "simhash_near_dup": _DUCK_SIMHASH,
