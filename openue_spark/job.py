@@ -46,6 +46,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     parser.add_argument("--shards", type=int, default=16, help="conv_id-hash shards for resumability")
     parser.add_argument("--no-link", action="store_true", help="skip entity linking/canonicalization")
     parser.add_argument("--salt-buckets", type=int, default=16, help="dedup skew-salt buckets")
+    parser.add_argument(
+        "--weights-from",
+        help="load the best (metric, step) weights checkpoint from this dir's"
+        " checkpoints/ table and broadcast it to the extraction UDFs"
+        " (default: built-in weights)",
+    )
     args = parser.parse_args(argv)
 
     owns_session = spark is None
@@ -75,7 +81,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     from openue_spark.fixtures import transcripts_spark
     from openue_spark.mock_models import MockWeights
-    from openue_spark.pipeline.artifacts import write_checkpoint, write_run_config
+    from openue_spark.pipeline.artifacts import (
+        read_best_checkpoint,
+        write_checkpoint,
+        write_run_config,
+    )
     from openue_spark.pipeline.linking import canonical_triples, link_entities
     from openue_spark.pipeline.materialize import run_extraction_resumable, write_triple_table
 
@@ -84,19 +94,27 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     # reproducibility before any data moves (reference main.py:76-84).
     run_id = __import__("uuid").uuid4().hex[:12]
     write_run_config(spark, args.out, vars(args), run_id)
-    # S5: record the exact weights bundle this run extracts with (the
-    # broadcast seam's provenance; reference persists best model+config,
-    # main.py:101-109 — inference-only here, so metric marks "deployed").
+    # S5: resolve the weights bundle (best persisted checkpoint when
+    # --weights-from is given — the reference's best-ckpt load,
+    # main.py:101-109) and record the exact bundle this run extracts with.
+    if args.weights_from:
+        weights, ck = read_best_checkpoint(spark, args.weights_from)
+        print(f"[job] loaded checkpoint {ck.checkpoint_id} (metric={ck.metric})")
+    else:
+        weights = MockWeights.default()
     write_checkpoint(
-        spark, args.out, MockWeights.default(), metric=1.0, step=0,
+        spark, args.out, weights, metric=1.0, step=0,
         checkpoint_id=f"{run_id}-deployed",
     )
+    weights_bc = spark.sparkContext.broadcast(weights)
     if args.input:
         transcripts = spark.read.parquet(args.input)
     else:
         transcripts = transcripts_spark(spark, args.synthesize)
 
-    raw = run_extraction_resumable(spark, transcripts, args.out, n_shards=args.shards)
+    raw = run_extraction_resumable(
+        spark, transcripts, args.out, n_shards=args.shards, weights_bc=weights_bc
+    )
     n_raw = raw.count()
     print(f"[job] extraction complete: {n_raw} raw triples ({time.time() - t0:.1f}s)")
 

@@ -94,6 +94,7 @@ def run_extraction_resumable(
     n_shards: int = 8,
     stage: str = "extract",
     fail_after_shards: int | None = None,
+    weights_bc=None,
 ) -> DataFrame:
     """Sharded, checkpoint-resumable extraction run.
 
@@ -121,7 +122,7 @@ def run_extraction_resumable(
                 F.expr("bit_xor(xxhash64(conv_id, turn_idx))"), F.lit(0)
             ).alias("fp"),
         ).collect()[0]
-        triples = extract_triples(part)
+        triples = extract_triples(part, weights_bc=weights_bc)
         (
             triples.write.mode("overwrite")
             .parquet(f"{out_dir}/triples/shard={shard}")

@@ -61,6 +61,31 @@ def test_missing_checkpoint_raises(spark, tmp_path):
         read_best_checkpoint(spark, str(tmp_path / "nowhere"))
 
 
+def test_job_extracts_with_persisted_checkpoint(spark, tmp_path):
+    """--weights-from loads the best persisted bundle and it really drives
+    extraction: permissive weights must yield more triples than default."""
+    from openue_spark.job import main
+    from openue_spark.mock_models import MockWeights
+    from openue_spark.pipeline.artifacts import write_checkpoint
+
+    ckdir = str(tmp_path / "ck")
+    permissive = MockWeights(
+        seq_cut=0.80, seq_scale=8.0,
+        ner_cuts=np.array([720, 790, 840, 910, 960, 980, 990, 1000]),
+    )
+    write_checkpoint(spark, ckdir, permissive, metric=0.99, step=7, checkpoint_id="perm")
+    write_checkpoint(spark, ckdir, MockWeights.default(), metric=0.5, step=1, checkpoint_id="dflt")
+
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    common = ["--synthesize", "400", "--no-link", "--shards", "1"]
+    assert main([*common, "--out", out_a], spark=spark) == 0
+    assert main([*common, "--out", out_b, "--weights-from", ckdir], spark=spark) == 0
+    n_default = spark.read.parquet(f"{out_a}/triples").count()
+    n_permissive = spark.read.parquet(f"{out_b}/triples").count()
+    assert n_permissive > n_default
+
+
 def test_job_writes_config_and_checkpoint(spark, tmp_path):
     """The spark-submit entry point records run_config + deployed weights."""
     from openue_spark.job import main
