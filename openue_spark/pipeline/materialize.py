@@ -149,6 +149,34 @@ def run_extraction_resumable(
     return spark.read.parquet(f"{out_dir}/triples")
 
 
+def write_bucketed_table(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_cols: tuple[str, ...] = (),
+    path: str | None = None,
+) -> None:
+    """Persist a table hash-BUCKETED on a join key so later equi-joins on
+    that key are co-located: Spark recognizes matching bucket specs and
+    plans a SortMergeJoin with NO shuffle exchange on either side — the
+    single biggest repeated-join saving at 10^12-triple scale (bucket once
+    at write time, join shuffle-free forever after).
+
+    Iceberg analogue: `PARTITIONED BY (bucket(N, col))` + local sort. Here:
+    parquet + the session catalog's bucket spec (`bucketBy` requires
+    `saveAsTable`; `path` makes it an external table so tests keep data in
+    a tmp dir, with the default in-memory catalog holding only metadata).
+    tests/test_materialize.py asserts the joined plan is Exchange-free.
+    """
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_cols:
+        w = w.sortBy(*sort_cols)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table_name)
+
+
 def write_triple_table(
     triples: DataFrame, path: str, salt_buckets: int = 16, conv_buckets: int = 8
 ) -> None:

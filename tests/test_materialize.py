@@ -88,3 +88,46 @@ def test_write_triple_table_partitioned_by_pred(spark, transcripts):
         assert back.groupBy("subj", "pred", "obj").count().where("count > 1").count() == 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
+    """Two tables bucketed on the same key must co-locate: the equi-join
+    plan contains NO shuffle exchange on either input (the at-scale payoff
+    of bucketing the triple table and its dimension sides)."""
+    from pyspark.sql import functions as F
+
+    from openue_spark.pipeline.materialize import write_bucketed_table
+
+    triples = spark.range(0, 2000).select(
+        F.concat(F.lit("conv"), (F.col("id") % 97)).alias("conv_id"),
+        F.col("id").alias("triple_id"),
+    )
+    turns = spark.range(0, 97).select(
+        F.concat(F.lit("conv"), F.col("id")).alias("conv_id"),
+        F.concat(F.lit("text"), F.col("id")).alias("text"),
+    )
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        # force a non-broadcast join so bucketing is what avoids the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        write_bucketed_table(
+            triples, "bt_triples", "conv_id", 8, ("conv_id",), str(tmp_path / "t")
+        )
+        write_bucketed_table(
+            turns, "bt_turns", "conv_id", 8, ("conv_id",), str(tmp_path / "u")
+        )
+        joined = spark.table("bt_triples").join(spark.table("bt_turns"), "conv_id")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == 2000
+        # sanity: the same join over non-bucketed data DOES shuffle
+        unbucketed = triples.join(turns, "conv_id")
+        plan2 = unbucketed._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" in plan2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+        spark.sql("DROP TABLE IF EXISTS bt_triples")
+        spark.sql("DROP TABLE IF EXISTS bt_turns")
