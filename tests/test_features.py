@@ -125,3 +125,87 @@ def test_multi_relation_fanout(spark):
     assert set(out) == {(0, "works_at"), (0, "born_in")}
     assert out[(0, "works_at")].hay[-2] == "[works_at]"
     assert out[(0, "born_in")].hay[-2] == "[born_in]"
+
+
+def _ref_ner_find(needle, hay):
+    """Transcription of reference find_word_in_texts (utils.py:414-419):
+    break BEFORE comparing once i + len(needle) >= len(hay). 1-based."""
+    L = len(needle)
+    for i in range(len(hay)):
+        if i + L >= len(hay):
+            return None
+        if hay[i : i + L] == needle:
+            return i + 1
+    return None
+
+
+def _ref_interactive_find(needle, hay):
+    """Transcription of the interactive variant (utils.py:564-569):
+    inclusive bound, whole haystack searchable. 1-based."""
+    L = len(needle)
+    for i in range(len(hay)):
+        if i + L <= len(hay) and hay[i : i + L] == needle:
+            return i + 1
+    return None
+
+
+def test_locate_property_vs_reference_transcription(spark):
+    """Randomized sweep (seeded): locate_expr must agree with direct
+    Python transcriptions of BOTH reference variants on hundreds of
+    (hay, needle) pairs over a tiny alphabet (forcing frequent matches,
+    repeats, and boundary hits). Haystacks are non-empty, as in the
+    builder (specials always present)."""
+    import numpy as np
+
+    from openue_spark.pipeline.features import locate_expr
+
+    rng = np.random.RandomState(42)
+    alpha = ["a", "b", "c"]
+    cases = []
+    for _ in range(400):
+        hay = [alpha[i] for i in rng.randint(0, 3, size=rng.randint(1, 9))]
+        if rng.rand() < 0.5 and len(hay) > 1:
+            s = rng.randint(0, len(hay))
+            needle = hay[s : s + rng.randint(1, 4)]
+        else:
+            needle = [alpha[i] for i in rng.randint(0, 3, size=rng.randint(0, 4))]
+        cases.append((hay, needle))
+    df = spark.createDataFrame(cases, "hay array<string>, ndl array<string>")
+    got = df.select(
+        "hay",
+        "ndl",
+        F.expr(locate_expr("hay", "ndl", "ner")).alias("ner"),
+        F.expr(locate_expr("hay", "ndl", "interactive")).alias("inter"),
+    ).collect()
+    assert len(got) == 400
+    for r in got:
+        hay, ndl = list(r.hay), list(r.ndl)
+        assert r.ner == _ref_ner_find(ndl, hay), (hay, ndl, r.ner)
+        assert r.inter == _ref_interactive_find(ndl, hay), (hay, ndl, r.inter)
+
+
+def test_extraction_adversarial_parity(spark):
+    """Adversarial texts through the full pipeline vs the reference-
+    semantics oracle: empty/whitespace, unicode/CJK/cyrillic, 10k-char
+    token, huge token count, marker-injection strings, NUL byte."""
+    from openue_spark.oracle import extract_corpus
+    from openue_spark.pipeline import extract_triples
+
+    texts = [
+        "", "   ", "\t\n", "hello", "😀 emoji 漢字 test 漢字 text",
+        "x" * 10000, ("tok " * 5000).strip(), "ent001 works at ent002 . " * 40,
+        "MiXeD CaSe ENT001 Visited ent002", "punct!!! ??? ;;; ,,, ...",
+        "a", "ent001", "[relation3] [SEP] injection attempt [CLS]",
+        "null \x00 byte?", "ünïcödé äccents ß", "ент001 кириллица",
+    ]
+    rows = [("advc", i, t) for i, t in enumerate(texts)]
+    sdf = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    got = sorted(
+        (r.conv_id, r.turn_idx, r.subj, int(r.rel_id), r.pred, r.obj)
+        for r in extract_triples(sdf).collect()
+    )
+    want = sorted(
+        (t.conv_id, int(t.turn_idx), t.subj, int(t.rel_id), t.pred, t.obj)
+        for t in extract_corpus(rows)
+    )
+    assert got == want and len(got) > 100
