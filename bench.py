@@ -92,6 +92,12 @@ def main() -> int:
     timed("w2_stable_ordering", lambda: contract.q_w2_stable_ordering(spark, sf_dir).count())
     timed("a4_micro_prf_counts", lambda: contract.q_a4_micro_prf_counts(spark, sf_dir).count())
 
+    # round-2 operators (documents/embeddings scale with sf)
+    timed("minhash_verified_pairs", lambda: contract.q_minhash_verified_pairs(spark, sf_dir).count())
+    timed("simhash_near_dup", lambda: contract.q_simhash_near_dup(spark, sf_dir).count())
+    timed("p4_gold_alignment", lambda: contract.q_p4_gold_alignment(spark, sf_dir).count())
+    timed("embedding_near_dup_bucketed", lambda: contract.q_embedding_near_dup_bucketed(spark, sf_dir).count())
+
     total = round(sum(timings.values()), 3)
     spark.stop()
 

@@ -358,13 +358,25 @@ def embedding_near_dup_bucketed(
     `embedding_near_dup_pairs`; recall < 1 by design (see module notes),
     tested against the brute-force oracle in tests/test_ops.py."""
     e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    q = e.withColumn(
-        "q", F.expr(f"transform(emb, x -> cast(round(x * {RP_QUANT}) as bigint))")
-    ).withColumn("bits", F.expr(rp_bits_expr(dim, n_bits)))
+    # norm computed ONCE per vector, not per candidate pair: the verify
+    # join multiplies candidates ~|bucket|x, so per-pair work must be a
+    # single dot fold (measured 11.1s -> 6.2s at sf0.1 with this change;
+    # same float values — sqrt(aggregate(...)) is unchanged per vector)
+    q = (
+        e.withColumn(
+            "nrm",
+            F.sqrt(F.expr("aggregate(transform(emb, x -> x * x), 0D, (acc, v) -> acc + v)")),
+        )
+        .withColumn(
+            "q", F.expr(f"transform(emb, x -> cast(round(x * {RP_QUANT}) as bigint))")
+        )
+        .withColumn("bits", F.expr(rp_bits_expr(dim, n_bits)))
+    )
     band_vals = rp_band_val_exprs(n_bits, n_bands)
     banded = q.select(
         "vec_id",
         "emb",
+        "nrm",
         F.explode(
             F.array(*[
                 F.struct(
@@ -374,16 +386,20 @@ def embedding_near_dup_bucketed(
                 for b in range(n_bands)
             ])
         ).alias("bb"),
-    ).select("vec_id", "emb", "bb.band_id", "bb.band_val")
-    a = banded.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("emb_a"), "band_id", "band_val")
-    b = banded.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("emb_b"), "band_id", "band_val")
+    ).select("vec_id", "emb", "nrm", "bb.band_id", "bb.band_val")
+    a = banded.select(
+        F.col("vec_id").alias("a_id"), F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"), "band_id", "band_val",
+    )
+    b = banded.select(
+        F.col("vec_id").alias("b_id"), F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"), "band_id", "band_val",
+    )
     dot = F.expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
-    na = F.sqrt(F.expr("aggregate(transform(emb_a, x -> x * x), 0D, (acc, v) -> acc + v)"))
-    nb = F.sqrt(F.expr("aggregate(transform(emb_b, x -> x * x), 0D, (acc, v) -> acc + v)"))
     return (
         a.join(b, ["band_id", "band_val"])
         .where(F.col("a_id") < F.col("b_id"))
-        .withColumn("cosine", dot / (na * nb))
+        .withColumn("cosine", dot / (F.col("nrm_a") * F.col("nrm_b")))
         .where(F.col("cosine") >= min_cosine)
         .select("a_id", "b_id", F.round("cosine", 4).alias("cosine_r"))
         .dropDuplicates(["a_id", "b_id"])
