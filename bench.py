@@ -63,7 +63,7 @@ def main() -> int:
     # minimum over passes is the standard single-tenant estimator; N is
     # small so a fully-quiet window isn't required. BASELINE.md records the
     # observed variance band alongside the canonical numbers.
-    passes = max(1, int(os.environ.get("SPARK_GRAFT_PASSES", "2")))
+    passes = max(1, int(os.environ.get("SPARK_GRAFT_PASSES", "3")))
 
     def timed(name: str, fn):
         best, out = None, None
