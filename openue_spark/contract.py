@@ -405,16 +405,24 @@ def q_p3_empty_gold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_p4_gold_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pipeline.features import TOKEN_REGEX_SQL, build_gold_ner_features
+    from .pipeline.features import MAX_WORDS, TOKEN_REGEX_SQL, build_gold_ner_features
 
     docs = _t(spark, sf_dir, "documents")
-    toks = F.expr(f"regexp_extract_all(lower(text), '{TOKEN_REGEX_SQL}', 0)")
+    # gold is synthesized from the TRUNCATED token list — the builder
+    # truncates the haystack to MAX_WORDS, so entities drawn from beyond
+    # that bound would be unlocatable on the Spark side only (the oracle
+    # mirrors this same slice); the token array feeds straight through to
+    # the builder as `toks` so the corpus is tokenized exactly once.
+    toks = F.expr(
+        f"slice(regexp_extract_all(lower(text), '{TOKEN_REGEX_SQL}', 0), 1, {MAX_WORDS})"
+    )
     corpus = (
-        docs.select(F.col("doc_id").alias("text_id"), "text", toks.alias("tk"))
+        docs.select(F.col("doc_id").alias("text_id"), toks.alias("tk"))
         .where(F.size("tk") >= 4)
+        .withColumn("toks", F.col("tk"))
         .select(
             "text_id",
-            "text",
+            "toks",
             F.expr(
                 "array("
                 " struct(element_at(tk, 2) AS subject, 'rel_a' AS predicate,"
@@ -731,7 +739,13 @@ def q_link_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = candidate_pairs_banded(mentions, jaccard_distance=0.6).select(
         "a_id", "b_id"
     )
-    labels = connected_components(mentions.select("mention_id"), edges)
+    # strict + generous cap: the DuckDB oracle computes the EXACT closure,
+    # so a >cap-diameter chain must fail loudly, never mismatch silently
+    # (the loop exits at the first converged round, so the larger cap is
+    # free on the shallow clusters this fixture produces)
+    labels = connected_components(
+        mentions.select("mention_id"), edges, max_iterations=50, strict=True
+    )
     return labels.select(
         F.col("mention_id").alias("mention"), F.col("label").alias("component")
     )
@@ -911,6 +925,12 @@ _DUCK_NGRAM_JACCARD = (
 _P4_TOKEN_REGEX = "[a-z0-9_]+|[^a-z0-9_\\s]"
 
 
+def _p4_max_words() -> int:
+    from .pipeline.features import MAX_WORDS
+
+    return MAX_WORDS
+
+
 def _duck_locate(ndl: str) -> str:
     return (
         f"list_filter(range(1, greatest(len(hay) - len({ndl}), 0) + 1),"
@@ -918,10 +938,14 @@ def _duck_locate(ndl: str) -> str:
     )
 
 
+# Both engines slice tokens to MAX_WORDS BEFORE synthesizing gold, so
+# entities always come from the searchable window (a >MAX_WORDS document
+# must not produce gold the truncated haystack can't contain).
 _DUCK_P4 = (
     "WITH base AS (SELECT doc_id,"
-    f" (regexp_extract_all(lower(text), '{_P4_TOKEN_REGEX}'))[1:252] AS tk"
-    f" FROM documents WHERE len(regexp_extract_all(lower(text), '{_P4_TOKEN_REGEX}')) >= 4),"
+    f" (regexp_extract_all(lower(text), '{_P4_TOKEN_REGEX}'))[1:{_p4_max_words()}] AS tk"
+    f" FROM documents WHERE len((regexp_extract_all(lower(text),"
+    f" '{_P4_TOKEN_REGEX}'))[1:{_p4_max_words()}]) >= 4),"
     " g AS ("
     "  SELECT doc_id, tk, 'rel_a' AS pred, [tk[2]] AS subj, tk[-2:] AS obj FROM base"
     "  UNION ALL SELECT doc_id, tk, 'rel_b', tk[1:2], [tk[-1]] FROM base"
@@ -1234,9 +1258,11 @@ def oracle_sql() -> dict[str, str]:
             " ) AS rnk FROM orders) WHERE rnk <= 3"
         ),
         "anti_join_quiet_customers": (
-            "SELECT c_custkey, c_mktsegment FROM customer"
-            " WHERE c_custkey NOT IN"
-            " (SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')"
+            # NOT EXISTS, not NOT IN: a NULL o_custkey would make NOT IN
+            # return zero rows while Spark's left_anti keeps non-matches
+            "SELECT c_custkey, c_mktsegment FROM customer c"
+            " WHERE NOT EXISTS (SELECT 1 FROM orders o"
+            "  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')"
         ),
         "rollup_region_revenue": (
             "SELECT r_name, n_name, count(*) AS n_orders,"

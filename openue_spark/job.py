@@ -103,7 +103,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     else:
         weights = MockWeights.default()
     write_checkpoint(
-        spark, args.out, weights, metric=1.0, step=0,
+        spark, args.out, weights, metric=None, step=0,
         checkpoint_id=f"{run_id}-deployed",
     )
     weights_bc = spark.sparkContext.broadcast(weights)

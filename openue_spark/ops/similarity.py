@@ -71,6 +71,10 @@ def kmeans_centroids(
         .limit(sample_cap)
         .collect()
     )
+    if not sample:  # empty input -> empty centroid table, empty buckets
+        return embeddings.sparkSession.createDataFrame(
+            [], "centroid_id int, cvec array<double>"
+        )
     mat = np.array([r.emb for r in sample], dtype=np.float64)
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0] = 1.0
@@ -80,12 +84,15 @@ def kmeans_centroids(
     for _ in range(iters):
         sims = unit @ cent.T
         assign = np.argmax(sims, axis=1)
+        # deterministic re-seed pool for empty clusters: points worst-served
+        # by their current centroid, each used at most once per iteration
+        # (a shared argmin would hand every empty cluster the SAME point ->
+        # duplicate centroids -> permanently dead buckets)
+        reseed = iter(np.argsort(np.max(sims, axis=1)))
         for j in range(c):
             members = unit[assign == j]
             if len(members) == 0:
-                # deterministic re-seed: farthest sample point from its centroid
-                worst = int(np.argmin(np.max(sims, axis=1)))
-                cent[j] = unit[worst]
+                cent[j] = unit[int(next(reseed))]
                 continue
             m = members.mean(axis=0)
             n = np.linalg.norm(m)
@@ -130,7 +137,10 @@ def ivf_topk(
     shared by bucket assignment and query probing."""
     if centroids is None:
         centroids = kmeans_centroids(embeddings, n_centroids)
-    centroids = centroids.persist()
+    # no persist: the centroid frame is a <=n_centroids-row local relation
+    # (createDataFrame over collected rows) consumed via broadcast — caching
+    # it would leak a block-manager entry per call and mutate the storage
+    # level of caller-supplied frames
     bucketed = assign_ivf_buckets(embeddings, n_centroids, centroids=centroids)
 
     qc = queries.crossJoin(F.broadcast(centroids)).withColumn(

@@ -67,18 +67,20 @@ def write_checkpoint(
     spark: SparkSession,
     out_dir: str,
     weights,
-    metric: float,
+    metric: float | None,
     step: int,
     checkpoint_id: str,
 ) -> str:
     """S5: append one checkpoint row (pickled weights blob + integrity
-    hash + selection metric). Returns the blob's sha256."""
+    hash + selection metric). metric=None marks a PROVENANCE record (e.g.
+    the bundle a run deployed with) that must never outrank a genuinely
+    evaluated checkpoint in best-selection. Returns the blob's sha256."""
     blob = pickle.dumps(weights, protocol=pickle.HIGHEST_PROTOCOL)
     digest = hashlib.sha256(blob).hexdigest()
     row = (
         checkpoint_id,
         int(step),
-        float(metric),
+        None if metric is None else float(metric),
         bytearray(blob),
         digest,
         len(blob),
@@ -97,10 +99,12 @@ def read_checkpoints(spark: SparkSession, out_dir: str) -> DataFrame:
 def read_best_checkpoint(spark: SparkSession, out_dir: str):
     """Best-by-metric checkpoint (ties -> highest step), integrity-checked
     and unpickled — the reference's ModelCheckpoint(monitor='Eval/f1')
-    selection (main.py:101-109). Returns (weights, row)."""
+    selection (main.py:101-109). Metric-less provenance records sort last,
+    so they are only returned when nothing evaluated exists.
+    Returns (weights, row)."""
     row = (
         read_checkpoints(spark, out_dir)
-        .orderBy(F.desc("metric"), F.desc("step"))
+        .orderBy(F.desc_nulls_last("metric"), F.desc("step"))
         .limit(1)
         .collect()
     )

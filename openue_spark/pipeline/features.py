@@ -90,15 +90,25 @@ def build_gold_ner_features(corpus: DataFrame) -> DataFrame:
     """(text_id, text, gold array<struct<subject,predicate,object>>) ->
     one row per surviving (text_id, predicate) group:
     (text_id, pred, hay, labels, input_ids, label_ids).
+
+    A pre-tokenized `toks` column (array<string>, already lowercased and
+    truncated) is honored as-is — same convention as ops.dedup._corpus —
+    so callers that tokenize for their own purposes don't pay the regex
+    pass twice. Entities are always re-tokenized from their strings.
     """
     base = corpus.where(F.size("gold") > 0)
-    toks = base.select(
-        "text_id",
-        "gold",
-        F.expr(
-            f"slice(regexp_extract_all(lower(text), '{TOKEN_REGEX_SQL}', 0), 1, {MAX_WORDS})"
-        ).alias("toks"),
-    )
+    if "toks" in base.columns:
+        toks = base.select(
+            "text_id", "gold", F.expr(f"slice(toks, 1, {MAX_WORDS})").alias("toks")
+        )
+    else:
+        toks = base.select(
+            "text_id",
+            "gold",
+            F.expr(
+                f"slice(regexp_extract_all(lower(text), '{TOKEN_REGEX_SQL}', 0), 1, {MAX_WORDS})"
+            ).alias("toks"),
+        )
     fanned = toks.select(
         "text_id",
         "toks",

@@ -259,14 +259,22 @@ def rerank_cosine(
 
 
 def connected_components(
-    mentions: DataFrame, edges: DataFrame, max_iterations: int = 15
+    mentions: DataFrame, edges: DataFrame, max_iterations: int = 15,
+    strict: bool = False,
 ) -> DataFrame:
     """Join-based min-label propagation to a fixpoint (bounded).
 
     labels(mention_id, label); each round every node takes the min label in
     its closed neighborhood. Converges in O(diameter) rounds; surface-form
-    clusters are tiny, so the bound is generous. Each round localCheckpoints
-    to keep lineage flat (iterative-join lineage blowup is the classic trap).
+    clusters are tiny, so the bound is generous (the loop breaks the first
+    converged round — a larger cap costs nothing when clusters are shallow).
+    Each round localCheckpoints to keep lineage flat (iterative-join lineage
+    blowup is the classic trap).
+
+    strict=True raises if the cap is exhausted before the fixpoint — for
+    callers checked against an exact-transitive-closure oracle, a loud
+    failure beats silently-nonminimal labels on a >max_iterations-diameter
+    chain.
     """
     sym = (
         edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
@@ -280,6 +288,7 @@ def connected_components(
     incident = sym.select(F.col("src").alias("mention_id")).distinct()
     labels = incident.select("mention_id", F.col("mention_id").alias("label"))
     labels = labels.localCheckpoint(eager=True)
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.mention_id)
@@ -309,8 +318,15 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     sym.unpersist()
+    if strict and not converged:
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations}"
+            " iterations — a component's diameter exceeds the cap; raise"
+            " max_iterations (labels would be silently non-minimal)"
+        )
     isolated = (
         mentions.select("mention_id")
         .join(labels.select("mention_id"), "mention_id", "left_anti")

@@ -31,8 +31,24 @@ from .extract import extract_triples
 
 MANIFEST_SCHEMA = (
     "run_id string, stage string, shard int, input_fingerprint bigint,"
-    " row_count long, triple_count long, wall_ms long, ts timestamp"
+    " row_count long, triple_count long, wall_ms long, ts timestamp,"
+    " weights_sha string"
 )
+
+
+def _weights_sha(weights_bc) -> str:
+    """Fingerprint of the weights bundle a shard was extracted under.
+    Resume must NOT skip shards extracted under different weights — the
+    manifest's input fingerprint covers rows, not model parameters."""
+    import hashlib
+    import pickle
+
+    from ..mock_models import MockWeights
+
+    bundle = weights_bc.value if weights_bc is not None else MockWeights.default()
+    return hashlib.sha256(
+        pickle.dumps(bundle, protocol=pickle.HIGHEST_PROTOCOL)
+    ).hexdigest()
 
 
 def dedup_triples_salted(raw_triples: DataFrame, salt_buckets: int = 16) -> DataFrame:
@@ -70,14 +86,17 @@ def read_manifest(spark: SparkSession, out_dir: str) -> DataFrame:
         return spark.createDataFrame([], MANIFEST_SCHEMA)
 
 
-def completed_shards(spark: SparkSession, out_dir: str, stage: str) -> set[int]:
-    rows = (
-        read_manifest(spark, out_dir)
-        .where(F.col("stage") == stage)
-        .select("shard")
-        .distinct()
-        .collect()
-    )
+def completed_shards(
+    spark: SparkSession, out_dir: str, stage: str, weights_sha: str | None = None
+) -> set[int]:
+    """Shards already done for (stage, weights). A shard recorded under a
+    DIFFERENT weights fingerprint (or a pre-fingerprint manifest with a
+    null column) does not count — resuming over it would silently mix
+    weight regimes in one triple table, so it is re-extracted instead."""
+    m = read_manifest(spark, out_dir).where(F.col("stage") == stage)
+    if weights_sha is not None:
+        m = m.where(F.col("weights_sha") == weights_sha)
+    rows = m.select("shard").distinct().collect()
     return {r.shard for r in rows}
 
 
@@ -107,7 +126,8 @@ def run_extraction_resumable(
     Returns the complete triple table read back from out_dir.
     """
     run_id = uuid.uuid4().hex[:12]
-    done = completed_shards(spark, out_dir, stage)
+    wsha = _weights_sha(weights_bc)
+    done = completed_shards(spark, out_dir, stage, weights_sha=wsha)
     sharded = transcripts.withColumn("shard", shard_of(F.col("conv_id"), n_shards))
 
     n_done_this_run = 0
@@ -140,6 +160,7 @@ def run_extraction_resumable(
                 int(n_triples),
                 int((time.time() - t0) * 1000),
                 __import__("datetime").datetime.now(),
+                wsha,
             ),
         )
         n_done_this_run += 1

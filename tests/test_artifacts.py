@@ -101,3 +101,21 @@ def test_job_writes_config_and_checkpoint(spark, tmp_path):
     weights, row = read_best_checkpoint(spark, out)
     assert row.checkpoint_id.endswith("-deployed")
     assert weights.seq_cut > 0
+
+
+def test_provenance_checkpoint_never_outranks_evaluated(spark, tmp_path):
+    """Deployed (metric=None) provenance rows lose best-selection to any
+    genuinely evaluated checkpoint, and win only when nothing else exists."""
+    from openue_spark.mock_models import MockWeights
+    from openue_spark.pipeline.artifacts import read_best_checkpoint, write_checkpoint
+
+    out = str(tmp_path / "out")
+    write_checkpoint(spark, out, MockWeights.default(), metric=None, step=9,
+                     checkpoint_id="run1-deployed")
+    _, row = read_best_checkpoint(spark, out)
+    assert row.checkpoint_id == "run1-deployed"  # only record -> returned
+
+    better = MockWeights(seq_cut=0.9, seq_scale=4.0, ner_cuts=np.array([1, 2, 3]))
+    write_checkpoint(spark, out, better, metric=0.42, step=1, checkpoint_id="trained")
+    _, row = read_best_checkpoint(spark, out)
+    assert row.checkpoint_id == "trained"  # low real metric still beats None

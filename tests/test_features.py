@@ -209,3 +209,41 @@ def test_extraction_adversarial_parity(spark):
         for t in extract_corpus(rows)
     )
     assert got == want and len(got) > 100
+
+
+def test_gold_beyond_truncation_window_is_dropped_consistently(spark):
+    """A document longer than MAX_WORDS: entities drawn from beyond the
+    truncated haystack must be unlocatable -> group dropped (and gold
+    synthesized FROM the truncated list, as the contract query does, must
+    survive). Guards the truncation-parity bug found in review."""
+    from openue_spark.pipeline.features import MAX_WORDS
+
+    n = MAX_WORDS + 48
+    words = [f"w{i}" for i in range(n)]
+    text = " ".join(words)
+    beyond = f"{words[-2]} {words[-1]}"      # outside the truncated window
+    inside = f"{words[10]} {words[11]}"      # inside it
+    rows = [(0, text, [
+        ("w2", "works_at", beyond),          # object unlocatable -> drop
+        ("w2", "born_in", inside),           # fully inside -> kept
+    ])]
+    out = _build(spark, rows)
+    assert (0, "born_in") in out
+    assert (0, "works_at") not in out
+    assert len(out[(0, "born_in")].hay) == MAX_WORDS + 4  # truncated + specials
+
+
+def test_pretokenized_corpus_skips_retokenize(spark):
+    """A `toks` column is honored verbatim (contract passes the token
+    array through so the corpus is tokenized once)."""
+    from openue_spark.pipeline.features import build_gold_ner_features
+
+    df = spark.createDataFrame(
+        [(0, ["alpha", "beta", "gamma"], [("beta", "works_at", "gamma")])],
+        "text_id long, toks array<string>,"
+        " gold array<struct<subject string, predicate string, object string>>",
+    )
+    r = {(x.text_id, x.pred): x for x in build_gold_ner_features(df).collect()}
+    assert r[(0, "works_at")].labels == [
+        "CLS", "O", "B-SUB", "B-OBJ", "SEP", "Relation", "SEP"
+    ]

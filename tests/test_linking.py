@@ -134,3 +134,23 @@ def test_link_entities_banded_and_ml_agree_on_canonical_groups(spark, triples_df
         }
     assert groups["banded"] == groups["ml"]
     assert groups["banded"]["acme corp."] == groups["banded"]["acme corp"]
+
+
+def test_connected_components_strict_raises_on_deep_chain(spark):
+    """strict mode fails loudly when a component's diameter exceeds the
+    iteration cap (the silent alternative diverges from the exact-closure
+    oracle); a generous cap converges and labels the chain minimally."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from openue_spark.pipeline.linking import connected_components
+
+    n = 18
+    mentions = spark.createDataFrame([(f"m{i:02d}",) for i in range(n)], "mention_id string")
+    edges = spark.createDataFrame(
+        [(f"m{i:02d}", f"m{i + 1:02d}") for i in range(n - 1)], "a_id string, b_id string"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(mentions, edges, max_iterations=3, strict=True)
+    labels = connected_components(mentions, edges, max_iterations=50, strict=True)
+    assert labels.where(F.col("label") != "m00").count() == 0

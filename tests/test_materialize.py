@@ -131,3 +131,35 @@ def test_bucketed_tables_join_without_shuffle(spark, tmp_path):
         spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
         spark.sql("DROP TABLE IF EXISTS bt_triples")
         spark.sql("DROP TABLE IF EXISTS bt_turns")
+
+
+def test_resume_does_not_mix_weight_regimes(spark, tmp_path):
+    """Shards completed under one weights bundle must NOT satisfy a resume
+    under a different bundle — the whole table is re-extracted so one
+    output never mixes weight regimes (review finding)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from openue_spark.fixtures import transcripts_spark
+    from openue_spark.mock_models import MockWeights
+    from openue_spark.pipeline.materialize import read_manifest, run_extraction_resumable
+
+    out = str(tmp_path / "out")
+    turns = transcripts_spark(spark, 600)
+    run_extraction_resumable(spark, turns, out, n_shards=2)
+    n_default = spark.read.parquet(f"{out}/triples").count()
+
+    permissive = spark.sparkContext.broadcast(MockWeights(
+        seq_cut=0.80, seq_scale=8.0,
+        ner_cuts=np.array([720, 790, 840, 910, 960, 980, 990, 1000]),
+    ))
+    run_extraction_resumable(spark, turns, out, n_shards=2, weights_bc=permissive)
+    n_after = spark.read.parquet(f"{out}/triples").count()
+    assert n_after > n_default  # every shard re-extracted under new weights
+
+    m = read_manifest(spark, out)
+    assert m.count() == 4  # 2 shards x 2 weight regimes
+    assert m.select("weights_sha").distinct().count() == 2
+    # same-weights resume still skips everything (no 5th manifest row)
+    run_extraction_resumable(spark, turns, out, n_shards=2, weights_bc=permissive)
+    assert read_manifest(spark, out).count() == 4

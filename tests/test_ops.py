@@ -280,3 +280,12 @@ def test_multimodal_plumbing(spark):
     assert all(max(r.new_width, r.new_height) <= 256 or r.scale == 1.0 for r in rp)
     fs = frame_sample_plan(media, fps=1.0).collect()
     assert all(len(r.frame_ts_ms) == r.duration_ms // 1000 for r in fs)
+
+
+def test_ivf_empty_embeddings_degrade_gracefully(spark):
+    from openue_spark.ops.similarity import assign_ivf_buckets, ivf_topk
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert assign_ivf_buckets(empty, 8).count() == 0
+    queries = spark.createDataFrame([], "query_id long, qvec array<double>")
+    assert ivf_topk(empty, queries, k=5, n_centroids=8).count() == 0
