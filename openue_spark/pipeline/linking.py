@@ -29,7 +29,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -234,6 +234,138 @@ def candidate_pairs_banded(
     )
 
 
+def _cap_hot_buckets(banded: DataFrame, max_bucket: int | None) -> DataFrame:
+    """Drop band buckets larger than max_bucket BEFORE the self-join.
+
+    Repetitive surface-form vocabularies concentrate minhashes: at the
+    200k-turn profile the hottest of 8x62k band buckets held 18,281
+    mentions — that single bucket alone is 167M candidate pairs, and the
+    raw candidate stream reached 512M rows (the whole linking stage was
+    ~85% this join's payload shipping). A mention pair in a dropped bucket
+    still meets through any of its other n_bands-1 bands: at J >= 0.6 the
+    per-band match probability is J^2 ~= 0.36, so P(some other band) =
+    1-(1-0.36)^7 ~= 0.956 — and genuinely-dense clusters (higher J) are
+    near-certain. Same df-cap idea as ops.dedup.ngram_jaccard_pairs; the
+    count is a window over the join key, no extra shuffle boundary.
+    """
+    if max_bucket is None:
+        return banded
+    w = Window.partitionBy("band_id", "band_hash")
+    return (
+        banded.withColumn("bsz", F.count(F.lit(1)).over(w))
+        .where(F.col("bsz") <= max_bucket)
+        .drop("bsz")
+    )
+
+
+def candidate_edges(
+    mentions: DataFrame,
+    embedded: DataFrame,
+    jaccard_distance: float = 0.6,
+    min_cosine: float = 0.85,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    max_bucket: int | None = 256,
+) -> DataFrame:
+    """Fused blocking -> hot-bucket cap -> cosine prefilter -> exact-Jaccard
+    verify.
+
+    The edge set is a CONJUNCTION (jaccard_dist <= t AND cosine >= c), so
+    filter order is free — and the order matters enormously at scale:
+    array_intersect over ~38-element shingle sets costs ~10x a 32-dim dot
+    product, and the cosine cut (8.7x selective on the 200k-turn profile)
+    runs first so the expensive verify only sees survivors. Per-pair inputs
+    (embedding, hashed shingles, set size) join from explicitly-broadcast
+    mention-side tables (62k rows), so the candidate stream is never
+    shuffled; pair dedup runs LAST on the ~1M survivors (the round-1
+    lesson, applied to both expensive filters).
+    `candidate_pairs_banded` keeps the verify-first shape for the
+    oracle-checked contract queries (max_bucket=None there: the mirror
+    must be exact and fixture buckets are tiny).
+    """
+    rows_per_band = n_hashes // n_bands
+    shingled = mentions.select(
+        "mention_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(1, length(mention) - 2)),"
+                " i -> substring(mention, i, 3))"
+            )
+        ).alias("shingles"),
+    )
+    sigs = shingled.select(
+        "mention_id",
+        *[
+            F.expr(f"array_min(transform(shingles, s -> md5(concat(s, '#{i}'))))").alias(f"sig{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    banded = sigs.select(
+        "mention_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("mention_id", "bh.band_id", "bh.band_hash")
+    banded = _cap_hot_buckets(banded, max_bucket)
+    a = banded.select(F.col("mention_id").alias("a_id"), "band_id", "band_hash")
+    b = banded.select(F.col("mention_id").alias("b_id"), "band_id", "band_hash")
+    cand = (
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+    )
+    # stage 1: cosine prefilter (embeddings are L2-normalized -> dot)
+    ea = embedded.select(F.col("mention_id").alias("a_id"), F.col("embedding").alias("emb_a"))
+    eb = embedded.select(F.col("mention_id").alias("b_id"), F.col("embedding").alias("emb_b"))
+    dot = F.expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
+    close = (
+        cand.join(F.broadcast(ea), "a_id")
+        .join(F.broadcast(eb), "b_id")
+        .withColumn("cosine", dot)
+        .where(F.col("cosine") >= min_cosine)
+        .select("a_id", "b_id", "cosine")
+    )
+    # stage 2: exact-Jaccard verify on the survivors only
+    hashed = shingled.select(
+        "mention_id",
+        F.expr("transform(shingles, s -> xxhash64(s))").alias("sh"),
+        F.size("shingles").alias("n_sh"),
+    )
+    min_j = 1.0 - jaccard_distance
+    sa = hashed.select(F.col("mention_id").alias("a_id"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
+    sb = hashed.select(F.col("mention_id").alias("b_id"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        close.join(F.broadcast(sa), "a_id")
+        .join(F.broadcast(sb), "b_id")
+        .where(
+            F.least("n_a", "n_b").cast("double")
+            >= F.lit(min_j) * F.greatest("n_a", "n_b")
+        )
+        .withColumn("inter", inter)
+        .withColumn(
+            "jaccard_dist",
+            1 - F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
+        )
+        .where(F.col("jaccard_dist") <= jaccard_distance)
+        .select("a_id", "b_id", "jaccard_dist", "cosine")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+
+
 def rerank_cosine(
     pairs: DataFrame, embedded: DataFrame, min_cosine: float = 0.85
 ) -> DataFrame:
@@ -371,9 +503,13 @@ def link_entities(
     """
     mentions = mention_table(triples).persist()
     embedded = embed_mentions(mentions).persist()
-    block = candidate_pairs_banded if blocker == "banded" else candidate_pairs
-    pairs = block(mentions, jaccard_distance)
-    edges = rerank_cosine(pairs, embedded, min_cosine)
+    if blocker == "banded":
+        # fused path: cosine prefilter BEFORE the exact-Jaccard verify
+        # (same conjunction, ~5x less verify work — see candidate_edges)
+        edges = candidate_edges(mentions, embedded, jaccard_distance, min_cosine)
+    else:
+        pairs = candidate_pairs(mentions, jaccard_distance)
+        edges = rerank_cosine(pairs, embedded, min_cosine)
     labels = connected_components(mentions, edges)
     mapping = canonicalize(mentions, labels).localCheckpoint(eager=True)
     embedded.unpersist()

@@ -154,3 +154,46 @@ def test_connected_components_strict_raises_on_deep_chain(spark):
         connected_components(mentions, edges, max_iterations=3, strict=True)
     labels = connected_components(mentions, edges, max_iterations=50, strict=True)
     assert labels.where(F.col("label") != "m00").count() == 0
+
+
+def test_candidate_edges_hot_bucket_cap(spark):
+    """candidate_edges == (blocking -> verify -> rerank) conjunction on a
+    small corpus, and the hot-bucket cap bounds candidate volume: with a
+    cap below a degenerate bucket's size its pairs are dropped, while
+    small-bucket corpora are unaffected by the default cap."""
+    from pyspark.sql import functions as F
+
+    from openue_spark.pipeline.linking import (
+        candidate_edges,
+        candidate_pairs_banded,
+        embed_mentions,
+        rerank_cosine,
+    )
+
+    rows = [(f"ent{i:03d} corp", ) for i in range(20)] + [("unrelated zebra",)]
+    mentions = spark.createDataFrame(rows, "mention string").withColumn(
+        "mention_id", F.xxhash64("mention")
+    ).persist()
+    emb = embed_mentions(mentions).persist()
+
+    fused = {
+        (r.a_id, r.b_id)
+        for r in candidate_edges(mentions, emb, 0.6, 0.85, max_bucket=None).collect()
+    }
+    classic = {
+        (r.a_id, r.b_id)
+        for r in rerank_cosine(
+            candidate_pairs_banded(mentions, 0.6), emb, 0.85
+        ).collect()
+    }
+    assert fused == classic and len(fused) > 0  # reordered conjunction, same set
+
+    # default cap leaves this small corpus untouched; a tiny cap drops the
+    # shared-vocabulary bucket's pairs entirely
+    dflt = {
+        (r.a_id, r.b_id)
+        for r in candidate_edges(mentions, emb, 0.6, 0.85).collect()
+    }
+    assert dflt == fused
+    capped = candidate_edges(mentions, emb, 0.6, 0.85, max_bucket=2).count()
+    assert capped < len(fused)
