@@ -427,11 +427,16 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the previous label through the round so convergence is a
+        # filter over the (already materialized) checkpoint, not an extra
+        # join per round — CC here is scheduler-latency-bound (tiny per-
+        # round data, 3 actions/round), so shaving actions is what helps
         new_labels = (
             labels.join(neighbor_min, labels.mention_id == neighbor_min.src, "left")
             .select(
                 "mention_id",
                 F.least(F.col("label"), F.coalesce("nbr_label", F.col("label"))).alias("label"),
+                F.col("label").alias("prev"),
             )
         )
         # NOTE: pointer-jumping (path compression via a labels-on-labels
@@ -441,14 +446,8 @@ def connected_components(
         # rounds it saves. Revisit only if real mention graphs show deep
         # chains.
         new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "mention_id")
-            .where(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.where(F.col("label") != F.col("prev")).limit(1).count()
+        labels = new_labels.drop("prev")
         if changed == 0:
             converged = True
             break
