@@ -757,7 +757,12 @@ def q_link_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _tune_runtime(spark)
     turns = transcripts_spark(spark, max(2_000, _sf_turns(sf_dir) // 30))
-    raw = extract_triples(turns).persist()
+    # localCheckpoint, not persist: raw is consumed by linking AND the
+    # final rewrite; a bare persist would pin blocks for the session's
+    # lifetime (the driver runs dozens of queries in one session), while
+    # checkpointed RDDs are reclaimed by the ContextCleaner once the
+    # returned plan is materialized and dereferenced
+    raw = extract_triples(turns).localCheckpoint(eager=True)
     mapping = link_entities(raw)
     return canonical_triples(raw, mapping)
 
@@ -1050,8 +1055,11 @@ def _duck_embedding_bucketed(min_cosine: float = 0.4, dim: int = 64) -> str:
         for b in range(RP_BANDS)
     )
     return (
+        # quantize from DOUBLE, not the raw FLOAT column: DuckDB would
+        # multiply in float32 and ~2% of values round to a different
+        # integer than Spark's double path, flipping sign bits near zero
         "WITH qt AS (SELECT vec_id, embedding,"
-        f" list_transform(embedding, x -> cast(round(x * {RP_QUANT}) as bigint)) AS q"
+        f" list_transform(embedding::DOUBLE[], x -> cast(round(x * {RP_QUANT}) as bigint)) AS q"
         " FROM embeddings),"
         f" bt AS (SELECT vec_id, embedding, {rp_bits_expr(dim, duck=True)} AS bits FROM qt),"
         f" bands AS ({per_band}),"

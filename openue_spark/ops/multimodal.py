@@ -183,12 +183,17 @@ def resize_plan(media: DataFrame, max_side: int = 256) -> DataFrame:
 
 def frame_sample_plan(media: DataFrame, fps: float = 1.0) -> DataFrame:
     """Video frame-sampling plan: timestamps to decode, as an array column
-    (explodes into per-frame decode work items downstream)."""
+    (explodes into per-frame decode work items downstream). A clip shorter
+    than one frame interval plans ZERO frames — sequence(0, n-1) with
+    n <= 0 would otherwise produce a DESCENDING [0, -1] array and emit a
+    bogus negative-timestamp decode item."""
+    n_frames = f"cast(meta.duration_ms * {fps} / 1000.0 as int)"
     return media.where(F.col("kind") == "video").select(
         "media_id",
         F.col("meta.duration_ms").alias("duration_ms"),
         F.expr(
-            f"transform(sequence(0, cast(meta.duration_ms * {fps} / 1000.0 as int) - 1),"
-            f" i -> cast(i * 1000.0 / {fps} as int))"
+            f"CASE WHEN {n_frames} < 1 THEN array()"
+            f" ELSE transform(sequence(0, {n_frames} - 1),"
+            f" i -> cast(i * 1000.0 / {fps} as int)) END"
         ).alias("frame_ts_ms"),
     )

@@ -119,6 +119,65 @@ def candidate_pairs(
     )
 
 
+def _shingled_mentions(mentions: DataFrame) -> DataFrame:
+    """(mention_id, shingles): distinct char-3-gram set per mention —
+    the ONE definition of the blocking feature space, shared by the
+    verify-first blocker and the fused candidate_edges path so the hashing
+    scheme can never desynchronize between them."""
+    return mentions.select(
+        "mention_id",
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(1, length(mention) - 2)),"
+                " i -> substring(mention, i, 3))"
+            )
+        ).alias("shingles"),
+    )
+
+
+def _banded_signatures(shingled: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
+    """(mention_id, band_id, band_hash): minhash sigs folded into band
+    hashes and exploded one row per band (shared blocking construction)."""
+    rows_per_band = n_hashes // n_bands
+    sigs = shingled.select(
+        "mention_id",
+        *[
+            F.expr(f"array_min(transform(shingles, s -> md5(concat(s, '#{i}'))))").alias(f"sig{i}")
+            for i in range(n_hashes)
+        ],
+    )
+    return sigs.select(
+        "mention_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.md5(
+                            F.concat_ws(
+                                "|",
+                                *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)],
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bh"),
+    ).select("mention_id", "bh.band_id", "bh.band_hash")
+
+
+def _hashed_shingles(shingled: DataFrame) -> DataFrame:
+    """(mention_id, sh array<bigint>, n_sh): int64-hashed shingle sets for
+    the exact-Jaccard verify (array<bigint> ships ~3x fewer bytes than
+    array<string>; 64-bit collisions are negligible)."""
+    return shingled.select(
+        "mention_id",
+        F.expr("transform(shingles, s -> xxhash64(s))").alias("sh"),
+        F.size("shingles").alias("n_sh"),
+    )
+
+
 def candidate_pairs_banded(
     mentions: DataFrame,
     jaccard_distance: float = 0.6,
@@ -144,43 +203,8 @@ def candidate_pairs_banded(
     Catalyst-visible/AQE-tunable. Returns (a_id, b_id, jaccard_dist) like
     `candidate_pairs`.
     """
-    rows_per_band = n_hashes // n_bands
-    shingled = mentions.select(
-        "mention_id",
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, greatest(1, length(mention) - 2)),"
-                " i -> substring(mention, i, 3))"
-            )
-        ).alias("shingles"),
-    )
-    sigs = shingled.select(
-        "mention_id",
-        "shingles",
-        *[
-            F.expr(f"array_min(transform(shingles, s -> md5(concat(s, '#{i}'))))").alias(f"sig{i}")
-            for i in range(n_hashes)
-        ],
-    )
-    banded = sigs.select(
-        "mention_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select("mention_id", "bh.band_id", "bh.band_hash")
+    shingled = _shingled_mentions(mentions)
+    banded = _banded_signatures(shingled, n_hashes, n_bands)
     a = banded.select(F.col("mention_id").alias("a_id"), "band_id", "band_hash")
     b = banded.select(F.col("mention_id").alias("b_id"), "band_id", "band_hash")
     # No distinct here: deduping 3.4M+ raw collisions is a full shuffle,
@@ -196,18 +220,12 @@ def candidate_pairs_banded(
     # Exact verify, shuffle-lean (the candidate set dwarfs the mention set —
     # 3.4M pairs from 36k mentions at the 100k-turn profile — so verify cost
     # dominates blocking):
-    # - shingles hashed to int64 once per mention: the pair join ships
-    #   array<bigint> instead of array<string> (~3x fewer shuffle bytes,
-    #   cheaper intersects; 64-bit collisions are negligible)
+    # - int64-hashed shingles (see _hashed_shingles)
     # - size-ratio prefilter BEFORE the intersect: J >= t forces
     #   min(|a|,|b|) >= t * max(|a|,|b|) (|∩| <= min, |∪| >= max), an
     #   int-only reject of most candidates
     # - |∪| computed as n_a + n_b - |∩| (shingle sets are distinct)
-    hashed = shingled.select(
-        "mention_id",
-        F.expr("transform(shingles, s -> xxhash64(s))").alias("sh"),
-        F.size("shingles").alias("n_sh"),
-    )
+    hashed = _hashed_shingles(shingled)
     min_j = 1.0 - jaccard_distance
     sa = hashed.select(
         F.col("mention_id").alias("a_id"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
@@ -283,43 +301,10 @@ def candidate_edges(
     oracle-checked contract queries (max_bucket=None there: the mirror
     must be exact and fixture buckets are tiny).
     """
-    rows_per_band = n_hashes // n_bands
-    shingled = mentions.select(
-        "mention_id",
-        F.array_distinct(
-            F.expr(
-                "transform(sequence(1, greatest(1, length(mention) - 2)),"
-                " i -> substring(mention, i, 3))"
-            )
-        ).alias("shingles"),
+    shingled = _shingled_mentions(mentions)
+    banded = _cap_hot_buckets(
+        _banded_signatures(shingled, n_hashes, n_bands), max_bucket
     )
-    sigs = shingled.select(
-        "mention_id",
-        *[
-            F.expr(f"array_min(transform(shingles, s -> md5(concat(s, '#{i}'))))").alias(f"sig{i}")
-            for i in range(n_hashes)
-        ],
-    )
-    banded = sigs.select(
-        "mention_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bh"),
-    ).select("mention_id", "bh.band_id", "bh.band_hash")
-    banded = _cap_hot_buckets(banded, max_bucket)
     a = banded.select(F.col("mention_id").alias("a_id"), "band_id", "band_hash")
     b = banded.select(F.col("mention_id").alias("b_id"), "band_id", "band_hash")
     cand = (
@@ -339,11 +324,7 @@ def candidate_edges(
         .select("a_id", "b_id", "cosine")
     )
     # stage 2: exact-Jaccard verify on the survivors only
-    hashed = shingled.select(
-        "mention_id",
-        F.expr("transform(shingles, s -> xxhash64(s))").alias("sh"),
-        F.size("shingles").alias("n_sh"),
-    )
+    hashed = _hashed_shingles(shingled)
     min_j = 1.0 - jaccard_distance
     sa = hashed.select(F.col("mention_id").alias("a_id"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a"))
     sb = hashed.select(F.col("mention_id").alias("b_id"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b"))
@@ -452,12 +433,18 @@ def connected_components(
             converged = True
             break
     sym.unpersist()
-    if strict and not converged:
-        raise RuntimeError(
+    if not converged:
+        msg = (
             f"connected_components did not converge within {max_iterations}"
             " iterations — a component's diameter exceeds the cap; raise"
-            " max_iterations (labels would be silently non-minimal)"
+            " max_iterations (labels are non-minimal: one true component"
+            " may carry multiple labels)"
         )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, RuntimeWarning, stacklevel=2)
     isolated = (
         mentions.select("mention_id")
         .join(labels.select("mention_id"), "mention_id", "left_anti")
@@ -509,7 +496,11 @@ def link_entities(
     else:
         pairs = candidate_pairs(mentions, jaccard_distance)
         edges = rerank_cosine(pairs, embedded, min_cosine)
-    labels = connected_components(mentions, edges)
+    # cap 50, not 15: the loop exits at the first converged round, so the
+    # higher bound is free on shallow clusters and covers deep chains a
+    # 15-round cap would silently leave with split labels (a warning fires
+    # if even 50 is exhausted)
+    labels = connected_components(mentions, edges, max_iterations=50)
     mapping = canonicalize(mentions, labels).localCheckpoint(eager=True)
     embedded.unpersist()
     mentions.unpersist()

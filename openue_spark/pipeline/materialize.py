@@ -127,21 +127,43 @@ def run_extraction_resumable(
     """
     run_id = uuid.uuid4().hex[:12]
     wsha = _weights_sha(weights_bc)
+    manifest = read_manifest(spark, out_dir).where(F.col("stage") == stage)
+    # a manifest written under a different shard count means the shard->
+    # conv_id mapping changed: nothing recorded is reusable, and stale
+    # shard=K dirs beyond the new range must not leak into the read-back
+    prior_shards = {r.shard for r in manifest.select("shard").distinct().collect()}
+    if any(s >= n_shards for s in prior_shards):
+        raise ValueError(
+            f"{out_dir} holds manifest rows for shard >= {n_shards}; it was"
+            " produced with a different --shards value — use a fresh out"
+            " dir or rerun with the original shard count"
+        )
     done = completed_shards(spark, out_dir, stage, weights_sha=wsha)
+    recorded_fp = {
+        r.shard: r.fp
+        for r in manifest.where(F.col("weights_sha") == wsha)
+        .groupBy("shard")
+        .agg(F.max("input_fingerprint").alias("fp"))
+        .collect()
+    }
     sharded = transcripts.withColumn("shard", shard_of(F.col("conv_id"), n_shards))
 
     n_done_this_run = 0
     for shard in range(n_shards):
-        if shard in done:
-            continue
         t0 = time.time()
         part = sharded.where(F.col("shard") == shard).drop("shard")
+        # the fingerprint scan also guards RESUMED shards: skipping is only
+        # legal when today's input hashes to what the manifest recorded
+        # (a scan is ~10x cheaper than re-running the model forwards, so
+        # validation keeps most of the resume saving)
         stats = part.agg(
             F.count(F.lit(1)).alias("rows"),
             F.coalesce(
                 F.expr("bit_xor(xxhash64(conv_id, turn_idx))"), F.lit(0)
             ).alias("fp"),
         ).collect()[0]
+        if shard in done and recorded_fp.get(shard) == int(stats.fp):
+            continue
         triples = extract_triples(part, weights_bc=weights_bc)
         (
             triples.write.mode("overwrite")
@@ -167,7 +189,11 @@ def run_extraction_resumable(
         if fail_after_shards is not None and n_done_this_run >= fail_after_shards:
             raise RuntimeError(f"injected failure after {n_done_this_run} shards")
 
-    return spark.read.parquet(f"{out_dir}/triples")
+    # read back exactly this run's shard range (never a parent-dir glob:
+    # a stale shard dir from an older layout must not leak into the table)
+    return spark.read.parquet(
+        *[f"{out_dir}/triples/shard={k}" for k in range(n_shards)]
+    )
 
 
 def write_bucketed_table(

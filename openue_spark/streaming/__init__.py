@@ -29,17 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..pipeline import extract_triples
-
-TRANSCRIPT_SCHEMA = T.StructType(
-    [
-        T.StructField("conv_id", T.StringType(), False),
-        T.StructField("turn_idx", T.IntegerType(), False),
-        T.StructField("role", T.StringType(), False),
-        T.StructField("text", T.StringType(), False),
-        T.StructField("tool", T.StringType(), True),
-        T.StructField("ts", T.TimestampType(), False),
-    ]
-)
+from ..sources import TRANSCRIPT_SCHEMA  # one pinned schema for batch AND stream
 
 
 def read_turn_stream(

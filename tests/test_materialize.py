@@ -163,3 +163,27 @@ def test_resume_does_not_mix_weight_regimes(spark, tmp_path):
     # same-weights resume still skips everything (no 5th manifest row)
     run_extraction_resumable(spark, turns, out, n_shards=2, weights_bc=permissive)
     assert read_manifest(spark, out).count() == 4
+
+
+def test_resume_revalidates_input_fingerprint(spark, tmp_path):
+    """A 'done' shard is only skipped when today's input hashes to what the
+    manifest recorded — pointing the same out dir at a DIFFERENT corpus
+    re-extracts instead of silently mixing corpora; and a changed --shards
+    value is rejected outright (stale shard dirs must not leak)."""
+    import pytest
+
+    from openue_spark.fixtures import transcripts_spark
+    from openue_spark.pipeline.materialize import run_extraction_resumable
+
+    out = str(tmp_path / "out")
+    run_extraction_resumable(spark, transcripts_spark(spark, 400), out, n_shards=2)
+    n_a = spark.read.parquet(f"{out}/triples").count()
+
+    # same out dir, different corpus -> fingerprints mismatch -> re-extract
+    other = transcripts_spark(spark, 800)
+    got = run_extraction_resumable(spark, other, out, n_shards=2)
+    n_b = got.count()
+    assert n_b > n_a  # reflects the NEW corpus, not a stale skip
+
+    with pytest.raises(ValueError, match="different --shards"):
+        run_extraction_resumable(spark, other, out, n_shards=1)

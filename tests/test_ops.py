@@ -289,3 +289,20 @@ def test_ivf_empty_embeddings_degrade_gracefully(spark):
     assert assign_ivf_buckets(empty, 8).count() == 0
     queries = spark.createDataFrame([], "query_id long, qvec array<double>")
     assert ivf_topk(empty, queries, k=5, n_centroids=8).count() == 0
+
+
+def test_frame_plan_short_clip_yields_zero_frames(spark):
+    """duration * fps < 1 frame must plan an EMPTY timestamp list, not a
+    descending [0, -2000] artifact of sequence(0, -1)."""
+    from openue_spark.ops.multimodal import MEDIA_SCHEMA, frame_sample_plan
+
+    rows = [
+        (1, "video", bytearray(b"x"), {"width": 1, "height": 1,
+                                       "duration_ms": 1500, "sample_rate": None}),
+        (2, "video", bytearray(b"y"), {"width": 1, "height": 1,
+                                       "duration_ms": 6000, "sample_rate": None}),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r.media_id: list(r.frame_ts_ms) for r in frame_sample_plan(media, fps=0.5).collect()}
+    assert out[1] == []                      # 0.75 frames -> none
+    assert out[2] == [0, 2000, 4000]         # 3 frames at 2s spacing
