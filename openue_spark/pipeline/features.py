@@ -76,13 +76,19 @@ def locate_expr(hay: str, needle: str, variant: str = "ner") -> str:
     )
 
 
-def _span_label(locs: str, b_tag: str, i_tag: str) -> str:
-    """Label for position p from the LAST span in `locs` covering p (NULL if
-    none) — the positional phrasing of the reference's overwrite-in-order."""
+def _span_fold(spans: str, base: str, b_tag: str, i_tag: str) -> str:
+    """Fold `spans` over a label array in LIST ORDER — the literal shape of
+    the reference's write-in-order loop (each span writes I-* over its
+    range then B-* at its start, later writes overwriting earlier ones).
+    O(spans * len) with one array allocation per span, vs the previous
+    per-position span-filter formulation whose 4 small allocations per
+    position dominated the builder's runtime (measured ~2x slower)."""
     return (
-        f"try_element_at(transform(filter({locs},"
-        f" x -> p >= x.pos AND p < x.pos + x.len),"
-        f" x -> CASE WHEN p = x.pos THEN '{b_tag}' ELSE '{i_tag}' END), -1)"
+        f"aggregate({spans}, {base}, (acc, sp) -> CASE WHEN sp.pos IS NULL"
+        " THEN acc ELSE transform(acc, (lab, i0) -> CASE"
+        f" WHEN i0 + 1 = sp.pos THEN '{b_tag}'"
+        f" WHEN i0 + 1 > sp.pos AND i0 + 1 < sp.pos + sp.len THEN '{i_tag}'"
+        " ELSE lab END) END)"
     )
 
 
@@ -132,6 +138,14 @@ def build_gold_ner_features(corpus: DataFrame) -> DataFrame:
             f" g -> regexp_extract_all(lower(g.object), '{TOKEN_REGEX_SQL}', 0))"
         ).alias("obj_toks"),
     )
+    # Materialization barrier. Without it, CollapseProject inlines the
+    # hay/needle-building expressions INTO the locate lambdas below, where
+    # they are re-evaluated on every scan position of every needle —
+    # measured 12.3 s vs 0.9 s for the survivor filter at sf0.1 (14x). A
+    # lazy localCheckpoint stores the computed columns once per row so the
+    # lambdas read bound values; at production scale the equivalent is
+    # writing this stage to a table (the materialize.py pattern).
+    grouped = grouped.localCheckpoint(eager=False)
     loc = lambda arr: (  # noqa: E731 — span structs for every entity in arr
         f"transform({arr}, s -> struct({locate_expr('hay', 's', 'ner')} AS pos,"
         f" size(s) AS len))"
@@ -148,16 +162,28 @@ def build_gold_ner_features(corpus: DataFrame) -> DataFrame:
         ~F.expr("exists(sub_locs, x -> x.pos IS NULL)")
         & ~F.expr("exists(obj_locs, x -> x.pos IS NULL)")
     )
+    # subjects fold first, objects second, tail stamps last — the exact
+    # write order of the reference loop (utils.py:484-514)
+    entity_labels = _span_fold(
+        "obj_locs",
+        _span_fold(
+            "sub_locs",
+            "transform(hay, w -> 'O')",
+            "B-SUB",
+            "I-SUB",
+        ),
+        "B-OBJ",
+        "I-OBJ",
+    )
     labels = survivors.withColumn(
         "labels",
         F.expr(
-            "transform(sequence(1, size(hay)), p -> CASE"
-            " WHEN p = 1 THEN 'CLS'"
-            " WHEN p = size(hay) THEN 'SEP'"
-            " WHEN p = size(hay) - 1 THEN 'Relation'"
-            " WHEN p = size(hay) - 2 THEN 'SEP'"
-            f" ELSE coalesce({_span_label('obj_locs', 'B-OBJ', 'I-OBJ')},"
-            f" {_span_label('sub_locs', 'B-SUB', 'I-SUB')}, 'O') END)"
+            f"transform({entity_labels}, (lab, i0) -> CASE"
+            " WHEN i0 = 0 THEN 'CLS'"
+            " WHEN i0 = size(hay) - 1 THEN 'SEP'"
+            " WHEN i0 = size(hay) - 2 THEN 'Relation'"
+            " WHEN i0 = size(hay) - 3 THEN 'SEP'"
+            " ELSE lab END)"
         ),
     )
     # word ids: JVM crc32 == zlib.crc32 == tokenizer.word_id; marker ids
