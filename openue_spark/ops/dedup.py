@@ -85,9 +85,27 @@ def with_band_hashes(signed: DataFrame, n_bands: int = N_BANDS, n_hashes: int = 
     return signed.select("*", *bands)
 
 
+def _barrier(df: DataFrame) -> DataFrame:
+    """Lazy materialization barrier before a self-join.
+
+    Computed payload columns (shingle arrays, fingerprints, quantized
+    vectors) that cross a join get re-evaluated per CANDIDATE PAIR once
+    Catalyst collapses the defining projection into the join output —
+    measured 32x on the simhash band join (6.7s -> 0.2s at sf0.1). A lazy
+    localCheckpoint stores the per-row values so the join reads attributes.
+    Single-machine/driver-query tool; a real cluster run materializes the
+    equivalent stage table (pipeline.materialize pattern) instead.
+    """
+    return df.localCheckpoint(eager=False)
+
+
 def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
     """LSH blocking: docs sharing any band hash -> distinct (a_id, b_id)."""
-    banded = with_band_hashes(with_minhash_signature(with_shingles(_corpus(docs))))
+    return _minhash_candidates_from(with_shingles(_corpus(docs)))
+
+
+def _minhash_candidates_from(shingled: DataFrame) -> DataFrame:
+    banded = with_band_hashes(with_minhash_signature(shingled))
     stacked = banded.select(
         "doc_id",
         F.explode(
@@ -106,8 +124,8 @@ def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
 
 def minhash_verified_pairs(docs: DataFrame, min_jaccard: float = 0.6) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard."""
-    shingled = with_shingles(_corpus(docs)).select("doc_id", "shingles")
-    pairs = minhash_candidate_pairs(docs)
+    shingled = _barrier(with_shingles(_corpus(docs)).select("doc_id", "shingles"))
+    pairs = _minhash_candidates_from(shingled)
     sa = shingled.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
     sb = shingled.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b"))
     return (
@@ -150,24 +168,34 @@ SIMHASH_BANDS = 4  # 4 x 16-bit bands: hamming <= 3 ALWAYS shares a band
 def with_simhash(corpus: DataFrame) -> DataFrame:
     """64-bit SimHash per doc from token md5 values — per-row expressions.
 
-    md5 is evaluated once per token into a 2-word array column, then each of
-    the 64 bit-votes aggregates over that array (sign of Σ ±1). The
-    fingerprint lands in a signed bigint; bit 63 makes it negative, which is
-    fine — every consumer (banding, xor, bit_count) is bit-pattern math.
+    md5 is evaluated once per token into a 2-word array, then each of the
+    64 bit-votes aggregates over that array (sign of Σ ±1). The word array
+    is LET-BOUND via a single-element transform (`transform(array(vals),
+    vs -> ...)`) rather than a withColumn: Catalyst's projection collapse
+    would inline a column into all 64 vote expressions and re-run the md5
+    pass per vote. (`shiftright(v, p)` not `v >> p`: the infix shift fails
+    to PARSE inside a nested lambda — Spark 4 parser quirk.) The
+    fingerprint lands in a signed bigint; bit 63 makes it negative, which
+    is fine — every consumer (banding, xor, bit_count) is bit-pattern math.
     """
-    vals = corpus.withColumn("vs", F.expr(f"transform(tokens, t -> {_WORDS64})"))
     bit_terms = []
     for k in range(SIMHASH_BITS):
         w, p = k // 32, k % 32
+        # shiftright(), not `>>`: the infix shift fails to PARSE inside a
+        # nested lambda (works one level deep — a Spark 4 parser quirk)
         vote = (
             f"aggregate(vs, 0, (acc, v) ->"
-            f" acc + (2 * int((v[{w}] >> {p}) & 1) - 1))"
+            f" acc + (2 * int(shiftright(v[{w}], {p}) & 1) - 1))"
         )
         bit_terms.append(
             f"(CASE WHEN ({vote}) > 0 THEN shiftleft(cast(1 as bigint), {k})"
             f" ELSE cast(0 as bigint) END)"
         )
-    return vals.withColumn("simhash", F.expr(" + ".join(bit_terms))).drop("vs")
+    expr = (
+        f"element_at(transform(array(transform(tokens, t -> {_WORDS64})),"
+        f" vs -> ({' + '.join(bit_terms)})), 1)"
+    )
+    return corpus.withColumn("simhash", F.expr(expr))
 
 
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -175,7 +203,7 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     are candidates; keep hamming(simhash_a, simhash_b) <= max_hamming.
     By pigeonhole, hamming <= 3 differing bits cannot touch all 4 bands, so
     recall is exact (not probabilistic) for the default threshold."""
-    hashed = with_simhash(_corpus(docs)).select("doc_id", "simhash")
+    hashed = _barrier(with_simhash(_corpus(docs)).select("doc_id", "simhash"))
     bands = hashed.select(
         "doc_id",
         "simhash",
@@ -219,8 +247,10 @@ def ngram_jaccard_pairs(
     but stopword trigrams is not a near-duplicate). The df pass is one
     count over the shingle key — same key, same partitioning as the join
     that follows; work per hot shingle is O(df), never O(df^2)."""
-    shingled = with_shingles(_corpus(docs)).select(
-        "doc_id", "shingles", F.size("shingles").alias("n_sh")
+    shingled = _barrier(
+        with_shingles(_corpus(docs)).select(
+            "doc_id", "shingles", F.size("shingles").alias("n_sh")
+        )
     )
     inv = shingled.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))
     df_w = Window.partitionBy("shingle")
@@ -362,7 +392,7 @@ def embedding_near_dup_bucketed(
     # join multiplies candidates ~|bucket|x, so per-pair work must be a
     # single dot fold (measured 11.1s -> 6.2s at sf0.1 with this change;
     # same float values — sqrt(aggregate(...)) is unchanged per vector)
-    q = (
+    q = _barrier(
         e.withColumn(
             "nrm",
             F.sqrt(F.expr("aggregate(transform(emb, x -> x * x), 0D, (acc, v) -> acc + v)")),

@@ -123,7 +123,13 @@ def _shingled_mentions(mentions: DataFrame) -> DataFrame:
     """(mention_id, shingles): distinct char-3-gram set per mention —
     the ONE definition of the blocking feature space, shared by the
     verify-first blocker and the fused candidate_edges path so the hashing
-    scheme can never desynchronize between them."""
+    scheme can never desynchronize between them.
+
+    Lazily checkpointed: the shingle arrays feed minhash signatures AND the
+    verify join's payload; without the barrier Catalyst inlines the
+    construction into the join output and re-evaluates it per candidate
+    pair (see ops.dedup._barrier — measured 32x on the simhash analogue).
+    """
     return mentions.select(
         "mention_id",
         F.array_distinct(
@@ -132,7 +138,7 @@ def _shingled_mentions(mentions: DataFrame) -> DataFrame:
                 " i -> substring(mention, i, 3))"
             )
         ).alias("shingles"),
-    )
+    ).localCheckpoint(eager=False)
 
 
 def _banded_signatures(shingled: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
