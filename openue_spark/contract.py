@@ -323,6 +323,12 @@ def q_embedding_near_dup_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+def q_embedding_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .ops.dedup import embedding_dedup_keep
+
+    return embedding_dedup_keep(_t(spark, sf_dir, "embeddings"), min_cosine=0.4, dim=64)
+
+
 # --- text analysis (ops.text) ---
 
 
@@ -805,6 +811,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
+        "embedding_dedup_keep": q_embedding_dedup_keep,
         "text_quality": q_text_quality,
         "doc_fingerprint": q_doc_fingerprint,
         "ann_ivf_topk": q_ann_ivf_topk,
@@ -1042,11 +1049,11 @@ _DUCK_LINK_CC = (
 )
 
 
-def _duck_embedding_bucketed(min_cosine: float = 0.4, dim: int = 64) -> str:
-    """DuckDB mirror of ops.dedup.embedding_near_dup_bucketed: identical
-    ±1 hyperplanes (shared rp_band_exprs builder), identical integer
-    quantization, so the candidate sets match bit-for-bit; only the final
-    cosine is float (same construct both engines, like embedding_near_dup)."""
+def _duck_embedding_lsh_ctes(dim: int = 64) -> str:
+    """Shared CTEs mirroring ops.dedup's sign-LSH construction: identical
+    ±1 hyperplanes (shared builders), identical integer quantization, so
+    the candidate sets match bit-for-bit; only the final cosine is float
+    (same construct both engines, like embedding_near_dup)."""
     from .ops.dedup import RP_BANDS, RP_QUANT, rp_band_val_exprs, rp_bits_expr
 
     band_vals = rp_band_val_exprs(one_based=True)
@@ -1058,7 +1065,7 @@ def _duck_embedding_bucketed(min_cosine: float = 0.4, dim: int = 64) -> str:
         # quantize from DOUBLE, not the raw FLOAT column: DuckDB would
         # multiply in float32 and ~2% of values round to a different
         # integer than Spark's double path, flipping sign bits near zero
-        "WITH qt AS (SELECT vec_id, embedding,"
+        "qt AS (SELECT vec_id, embedding,"
         f" list_transform(embedding::DOUBLE[], x -> cast(round(x * {RP_QUANT}) as bigint)) AS q"
         " FROM embeddings),"
         f" bt AS (SELECT vec_id, embedding, {rp_bits_expr(dim, duck=True)} AS bits FROM qt),"
@@ -1067,8 +1074,22 @@ def _duck_embedding_bucketed(min_cosine: float = 0.4, dim: int = 64) -> str:
         "  list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cosine"
         "  FROM bands a JOIN bands b ON a.band_id = b.band_id"
         "   AND a.band_val = b.band_val AND a.vec_id < b.vec_id)"
+    )
+
+
+def _duck_embedding_bucketed(min_cosine: float = 0.4, dim: int = 64) -> str:
+    return (
+        f"WITH {_duck_embedding_lsh_ctes(dim)}"
         " SELECT a_id, b_id, round(cosine, 4) AS cosine_r FROM cand"
         f" WHERE cosine >= {min_cosine}"
+    )
+
+
+def _duck_embedding_keep(min_cosine: float = 0.4, dim: int = 64) -> str:
+    return (
+        f"WITH {_duck_embedding_lsh_ctes(dim)}"
+        " SELECT vec_id FROM embeddings WHERE vec_id NOT IN"
+        f" (SELECT b_id FROM cand WHERE cosine >= {min_cosine})"
     )
 
 
@@ -1292,6 +1313,7 @@ def oracle_sql() -> dict[str, str]:
             " WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) >= 0.4"
         ),
         "embedding_near_dup_bucketed": _duck_embedding_bucketed(),
+        "embedding_dedup_keep": _duck_embedding_keep(),
         "text_quality": (
             "WITH f AS (SELECT doc_id, text, length(text) AS n_chars,"
             "  CASE WHEN length(trim(text)) = 0 THEN 0"

@@ -434,3 +434,19 @@ def embedding_near_dup_bucketed(
         .select("a_id", "b_id", F.round("cosine", 4).alias("cosine_r"))
         .dropDuplicates(["a_id", "b_id"])
     )
+
+
+def embedding_dedup_keep(
+    embeddings: DataFrame,
+    min_cosine: float = 0.95,
+    dim: int = 64,
+) -> DataFrame:
+    """Greedy embedding dedup: drop the higher vec_id of every bucketed-
+    verified near-dup pair; return surviving vec_ids (the embedding-space
+    analogue of minhash_dedup_keep, built on the sign-LSH scale path)."""
+    drops = (
+        embedding_near_dup_bucketed(embeddings, min_cosine, dim=dim)
+        .select(F.col("b_id").alias("vec_id"))
+        .distinct()
+    )
+    return embeddings.select("vec_id").join(drops, "vec_id", "left_anti")

@@ -484,6 +484,7 @@ def link_entities(
     jaccard_distance: float = 0.6,
     min_cosine: float = 0.85,
     blocker: str = "banded",
+    max_bucket: int | None = 256,
 ) -> DataFrame:
     """Full linking stage: triples -> canonical mention mapping.
 
@@ -498,7 +499,9 @@ def link_entities(
     if blocker == "banded":
         # fused path: cosine prefilter BEFORE the exact-Jaccard verify
         # (same conjunction, ~5x less verify work — see candidate_edges)
-        edges = candidate_edges(mentions, embedded, jaccard_distance, min_cosine)
+        edges = candidate_edges(
+            mentions, embedded, jaccard_distance, min_cosine, max_bucket=max_bucket
+        )
     else:
         pairs = candidate_pairs(mentions, jaccard_distance)
         edges = rerank_cosine(pairs, embedded, min_cosine)

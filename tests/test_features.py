@@ -247,3 +247,13 @@ def test_pretokenized_corpus_skips_retokenize(spark):
     assert r[(0, "works_at")].labels == [
         "CLS", "O", "B-SUB", "B-OBJ", "SEP", "Relation", "SEP"
     ]
+
+
+def test_empty_tokenizing_entity_is_located_and_harmless(spark):
+    """An entity whose surface tokenizes to NOTHING (whitespace-only): the
+    reference locates [] at position 0, writes a B tag there, and the tail
+    CLS stamp overwrites it — net effect: group kept, no entity labels.
+    Same here (zero-length spans cover no positions; pos 1 is CLS)."""
+    rows = [(0, "alpha beta", [("   ", "works_at", "beta")])]
+    r = _build(spark, rows)[(0, "works_at")]
+    assert r.labels == ["CLS", "O", "B-OBJ", "SEP", "Relation", "SEP"]
