@@ -95,7 +95,12 @@ def _barrier(df: DataFrame) -> DataFrame:
     localCheckpoint stores the per-row values so the join reads attributes.
     Single-machine/driver-query tool; a real cluster run materializes the
     equivalent stage table (pipeline.materialize pattern) instead.
+    Streaming inputs pass through unchanged (checkpointing a streaming
+    DataFrame is illegal; inside foreachBatch the batch DF is non-streaming
+    and gets the barrier as usual).
     """
+    if df.isStreaming:
+        return df
     return df.localCheckpoint(eager=False)
 
 

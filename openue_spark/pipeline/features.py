@@ -145,7 +145,10 @@ def build_gold_ner_features(corpus: DataFrame) -> DataFrame:
     # lazy localCheckpoint stores the computed columns once per row so the
     # lambdas read bound values; at production scale the equivalent is
     # writing this stage to a table (the materialize.py pattern).
-    grouped = grouped.localCheckpoint(eager=False)
+    # (Streaming corpora skip the barrier — localCheckpoint is illegal
+    # there; apply the builder inside foreachBatch to keep it.)
+    if not grouped.isStreaming:
+        grouped = grouped.localCheckpoint(eager=False)
     loc = lambda arr: (  # noqa: E731 — span structs for every entity in arr
         f"transform({arr}, s -> struct({locate_expr('hay', 's', 'ner')} AS pos,"
         f" size(s) AS len))"

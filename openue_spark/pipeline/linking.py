@@ -130,7 +130,7 @@ def _shingled_mentions(mentions: DataFrame) -> DataFrame:
     construction into the join output and re-evaluates it per candidate
     pair (see ops.dedup._barrier — measured 32x on the simhash analogue).
     """
-    return mentions.select(
+    out = mentions.select(
         "mention_id",
         F.array_distinct(
             F.expr(
@@ -138,7 +138,8 @@ def _shingled_mentions(mentions: DataFrame) -> DataFrame:
                 " i -> substring(mention, i, 3))"
             )
         ).alias("shingles"),
-    ).localCheckpoint(eager=False)
+    )
+    return out if out.isStreaming else out.localCheckpoint(eager=False)
 
 
 def _banded_signatures(shingled: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
