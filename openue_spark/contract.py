@@ -448,6 +448,55 @@ def q_p4_gold_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- SEQ training features: tokenize + multi-hot relation label with
+#     clamp and empty-gold drop (reference utils.py:335-379). Gold is
+#     synthesized from each doc's tokens with a DUPLICATED rel_a triple
+#     (the clamp case) and rel_b only for even token counts; rel_x never
+#     occurs, so its bit must be 0 everywhere. ---
+
+
+def q_seq_gold_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.features import TOKEN_REGEX_SQL, build_seq_features
+
+    max_words = 254  # MAX_SEQ_LENGTH - 2: the SEQ tokenize budget
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.expr(
+        f"slice(regexp_extract_all(lower(text), '{TOKEN_REGEX_SQL}', 0), 1, {max_words})"
+    )
+    corpus = (
+        docs.select(F.col("doc_id").alias("text_id"), toks.alias("tk"))
+        .where(F.size("tk") >= 4)
+        .withColumn("toks", F.col("tk"))
+        .select(
+            "text_id",
+            "toks",
+            F.expr(
+                "CASE WHEN size(tk) % 2 = 0 THEN array("
+                " struct(element_at(tk, 2) AS subject, 'rel_a' AS predicate,"
+                "  element_at(tk, -1) AS object),"
+                " struct(element_at(tk, 1) AS subject, 'rel_a' AS predicate,"
+                "  element_at(tk, 3) AS object),"
+                " struct(element_at(tk, 1) AS subject, 'rel_b' AS predicate,"
+                "  element_at(tk, -1) AS object))"
+                " ELSE array("
+                " struct(element_at(tk, 2) AS subject, 'rel_a' AS predicate,"
+                "  element_at(tk, -1) AS object),"
+                " struct(element_at(tk, 1) AS subject, 'rel_a' AS predicate,"
+                "  element_at(tk, 3) AS object)) END"
+            ).alias("gold"),
+        )
+    )
+    feats = build_seq_features(corpus, predicates=["rel_a", "rel_b", "rel_x"])
+    return feats.select(
+        F.col("text_id").alias("doc_id"),
+        F.size("input_ids").alias("n_ids"),
+        F.expr("array_join(transform(label_ids, x -> cast(x as string)), '')").alias(
+            "label_bits"
+        ),
+        "n_schema_triples",
+    )
+
+
 # --- J2: token-subsequence locate, both reference variants
 #         (utils.py:414-419 breaks one early — misses a match flush with the
 #          end of the sentence; utils.py:564-569 is inclusive/correct) ---
@@ -787,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u4_marker_splice": q_u4_marker_splice,
         "p3_empty_gold_filter": q_p3_empty_gold_filter,
         "p4_gold_alignment": q_p4_gold_alignment,
+        "seq_gold_features": q_seq_gold_features,
         "j2_token_locate": q_j2_token_locate,
         "w3_span_islands": q_w3_span_islands,
         "w4_suffix_slice": q_w4_suffix_slice,
@@ -1237,6 +1287,15 @@ def oracle_sql() -> dict[str, str]:
             " HAVING count(DISTINCT CASE WHEN value > 120.0 THEN event_type END) > 0"
         ),
         "p4_gold_alignment": _DUCK_P4,
+        "seq_gold_features": (
+            "WITH base AS (SELECT doc_id,"
+            f" (regexp_extract_all(lower(text), '{_P4_TOKEN_REGEX}'))[1:254] AS tk"
+            " FROM documents)"
+            " SELECT doc_id, len(tk) + 2 AS n_ids,"
+            " CASE WHEN len(tk) % 2 = 0 THEN '110' ELSE '100' END AS label_bits,"
+            " CASE WHEN len(tk) % 2 = 0 THEN 3 ELSE 2 END AS n_schema_triples"
+            " FROM base WHERE len(tk) >= 4"
+        ),
         "j2_token_locate": (
             "WITH base AS (SELECT doc_id,"
             " regexp_split_to_array(trim(lower(text)), '\\s+') AS toks"

@@ -211,3 +211,58 @@ def build_gold_ner_features(corpus: DataFrame) -> DataFrame:
         ).alias("input_ids"),
         F.expr(f"transform(labels, l -> map({label_map})[l])").alias("label_ids"),
     )
+
+
+def build_seq_features(corpus: DataFrame, predicates: list[str] | None = None) -> DataFrame:
+    """SEQ training features: tokenized sentence + multi-hot relation label
+    (reference convert_examples_to_seq_features, utils.py:335-379).
+
+    - tokenize the lowered text with add_special_tokens=True and
+      max_length = MAX_SEQ_LENGTH (the SEQ variant keeps the full budget;
+      NER/interactive reserve 2 marker slots — utils.py:358-364)
+    - DROP sentences with no gold triples (utils.py:368-369; the reference
+      counts them as dataset errors)
+    - label = one-hot sum over the gold predicates CLAMPED to {0,1}
+      (utils.py:371-373: "the relation may show more than once")
+    - predicates not in the schema are ignored, matching the reference's
+      label2id lookup domain
+
+    Pure column expressions; accepts a pre-tokenized `toks` column like
+    build_gold_ner_features. Output: (text_id, input_ids, attention_mask,
+    label_ids) with label_ids a {0,1} int array over `predicates` order.
+    """
+    preds = list(PREDICATES if predicates is None else predicates)
+    base = corpus.where(F.size("gold") > 0)
+    max_words = MAX_SEQ_LENGTH - 2  # specials take 2 of max_length
+    if "toks" in base.columns:
+        toks = base.select(
+            "text_id", "gold", F.expr(f"slice(toks, 1, {max_words})").alias("toks")
+        )
+    else:
+        toks = base.select(
+            "text_id",
+            "gold",
+            F.expr(
+                f"slice(regexp_extract_all(lower(text), '{TOKEN_REGEX_SQL}', 0),"
+                f" 1, {max_words})"
+            ).alias("toks"),
+        )
+    pred_set = "array(" + ", ".join(f"'{p}'" for p in preds) + ")"
+    label_terms = ", ".join(
+        f"CASE WHEN exists(gold, g -> g.predicate = '{p}') THEN 1 ELSE 0 END"
+        for p in preds
+    )
+    return toks.select(
+        "text_id",
+        F.expr(
+            f"concat(array({CLS_ID}),"
+            f" transform(toks, w -> {VOCAB_BASE} + pmod(crc32(w), {VOCAB_HASH_SIZE})),"
+            f" array({SEP_ID}))"
+        ).alias("input_ids"),
+        F.expr("transform(sequence(1, size(toks) + 2), p -> 1)").alias("attention_mask"),
+        F.expr(f"array({label_terms})").alias("label_ids"),
+        F.expr(
+            f"size(filter(transform(gold, g -> g.predicate),"
+            f" p -> array_contains({pred_set}, p)))"
+        ).alias("n_schema_triples"),
+    )

@@ -257,3 +257,46 @@ def test_empty_tokenizing_entity_is_located_and_harmless(spark):
     rows = [(0, "alpha beta", [("   ", "works_at", "beta")])]
     r = _build(spark, rows)[(0, "works_at")]
     assert r.labels == ["CLS", "O", "B-OBJ", "SEP", "Relation", "SEP"]
+
+
+def test_seq_features_multihot_clamp_and_drop(spark):
+    """SEQ builder (utils.py:335-379): duplicate relations clamp to 1,
+    out-of-schema predicates are ignored, empty-gold sentences drop, ids
+    match tokenizer.encode at the SEQ budget (max_length = MAX_SEQ_LENGTH)."""
+    from openue_spark.config import MAX_SEQ_LENGTH
+    from openue_spark.pipeline.features import build_seq_features
+    from openue_spark.tokenizer import encode
+
+    rows = [
+        (0, "alpha beta gamma", [
+            ("alpha", "works_at", "beta"),
+            ("beta", "works_at", "gamma"),   # duplicate predicate -> still 1
+            ("alpha", "born_in", "gamma"),
+            ("alpha", "not_a_relation", "beta"),  # out of schema -> ignored
+        ]),
+        (1, "delta", []),                    # empty gold -> dropped
+    ]
+    df = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    preds = ["works_at", "born_in", "located_in"]
+    out = {r.text_id: r for r in build_seq_features(df, predicates=preds).collect()}
+    assert set(out) == {0}
+    r = out[0]
+    assert r.label_ids == [1, 1, 0]
+    assert r.n_schema_triples == 3
+    ids, _ = encode("alpha beta gamma", max_length=MAX_SEQ_LENGTH)
+    assert r.input_ids == ids
+    assert r.attention_mask == [1] * len(ids)
+
+
+def test_seq_features_truncation_budget(spark):
+    """SEQ keeps MAX_SEQ_LENGTH - 2 words (full budget minus specials) —
+    two MORE than the NER variant's haystack words."""
+    from openue_spark.config import MAX_SEQ_LENGTH
+    from openue_spark.pipeline.features import build_seq_features
+
+    n = MAX_SEQ_LENGTH + 50
+    text = " ".join(f"w{i}" for i in range(n))
+    df = spark.createDataFrame([(0, text, [("w1", "works_at", "w2")])], CORPUS_SCHEMA)
+    r = build_seq_features(df).collect()[0]
+    assert len(r.input_ids) == MAX_SEQ_LENGTH
+    assert len(r.attention_mask) == MAX_SEQ_LENGTH
