@@ -497,6 +497,53 @@ def q_seq_gold_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- Interactive (eval-side) gold features: token-offset triples with the
+#     INTERACTIVE locate variant and the reference's dead drop-check quirk
+#     (unlocatable spans ride through as NULLs — utils.py:597-600 never
+#     fires). rel_c's subject never occurs, so its offsets must be NULL on
+#     BOTH engines while the row is kept. ---
+
+
+def q_interactive_gold_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.features import MAX_WORDS, TOKEN_REGEX_SQL, build_interactive_features
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.expr(
+        f"slice(regexp_extract_all(lower(text), '{TOKEN_REGEX_SQL}', 0), 1, {MAX_WORDS})"
+    )
+    corpus = (
+        docs.select(F.col("doc_id").alias("text_id"), toks.alias("tk"))
+        .where(F.size("tk") >= 4)
+        .withColumn("toks", F.col("tk"))
+        .select(
+            "text_id",
+            "toks",
+            F.expr(
+                "array("
+                " struct(element_at(tk, 2) AS subject, 'rel_a' AS predicate,"
+                "  concat(element_at(tk, -2), ' ', element_at(tk, -1)) AS object),"
+                " struct(concat(element_at(tk, 1), ' ', element_at(tk, 2)) AS subject,"
+                "  'rel_b' AS predicate, element_at(tk, -1) AS object),"
+                " struct('zzzmissing' AS subject, 'rel_c' AS predicate,"
+                "  element_at(tk, 1) AS object))"
+            ).alias("gold"),
+        )
+    )
+    feats = build_interactive_features(corpus, predicates=["rel_a", "rel_b", "rel_c"])
+    return feats.select(
+        F.col("text_id").alias("doc_id"),
+        F.posexplode("triples").alias("t_idx", "tr"),
+    ).select(
+        "doc_id",
+        "t_idx",
+        F.col("tr.h_s").alias("h_s"),
+        F.col("tr.h_e").alias("h_e"),
+        F.col("tr.t_s").alias("t_s"),
+        F.col("tr.t_e").alias("t_e"),
+        F.col("tr.r").alias("r"),
+    )
+
+
 # --- J2: token-subsequence locate, both reference variants
 #         (utils.py:414-419 breaks one early — misses a match flush with the
 #          end of the sentence; utils.py:564-569 is inclusive/correct) ---
@@ -837,6 +884,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p3_empty_gold_filter": q_p3_empty_gold_filter,
         "p4_gold_alignment": q_p4_gold_alignment,
         "seq_gold_features": q_seq_gold_features,
+        "interactive_gold_features": q_interactive_gold_features,
         "j2_token_locate": q_j2_token_locate,
         "w3_span_islands": q_w3_span_islands,
         "w4_suffix_slice": q_w4_suffix_slice,
@@ -996,6 +1044,14 @@ def _p4_max_words() -> int:
 def _duck_locate(ndl: str) -> str:
     return (
         f"list_filter(range(1, greatest(len(hay) - len({ndl}), 0) + 1),"
+        f" i -> hay[i:i+len({ndl})-1] = {ndl})[1]"
+    )
+
+
+def _duck_locate_i(ndl: str) -> str:
+    """Interactive variant: inclusive bound (the whole haystack)."""
+    return (
+        f"list_filter(range(1, greatest(len(hay) - len({ndl}) + 1, 0) + 1),"
         f" i -> hay[i:i+len({ndl})-1] = {ndl})[1]"
     )
 
@@ -1287,6 +1343,23 @@ def oracle_sql() -> dict[str, str]:
             " HAVING count(DISTINCT CASE WHEN value > 120.0 THEN event_type END) > 0"
         ),
         "p4_gold_alignment": _DUCK_P4,
+        "interactive_gold_features": (
+            "WITH base AS (SELECT doc_id,"
+            f" (regexp_extract_all(lower(text), '{_P4_TOKEN_REGEX}'))[1:{_p4_max_words()}] AS tk"
+            f" FROM documents WHERE len((regexp_extract_all(lower(text),"
+            f" '{_P4_TOKEN_REGEX}'))[1:{_p4_max_words()}]) >= 4),"
+            " h AS (SELECT doc_id, tk, ['[CLS]'] || tk || ['[SEP]'] AS hay FROM base),"
+            " g AS ("
+            "  SELECT doc_id, hay, 0 AS t_idx, [tk[2]] AS hn, tk[-2:] AS tn, 0 AS r FROM h"
+            "  UNION ALL SELECT doc_id, hay, 1, tk[1:2], [tk[-1]], 1 FROM h"
+            "  UNION ALL SELECT doc_id, hay, 2, ['zzzmissing'], [tk[1]], 2 FROM h)"
+            " SELECT doc_id, t_idx,"
+            f"  cast({_duck_locate_i('hn')} AS int) - 1 AS h_s,"
+            f"  cast({_duck_locate_i('hn')} AS int) - 1 + len(hn) AS h_e,"
+            f"  cast({_duck_locate_i('tn')} AS int) - 1 AS t_s,"
+            f"  cast({_duck_locate_i('tn')} AS int) - 1 + len(tn) AS t_e,"
+            "  r FROM g"
+        ),
         "seq_gold_features": (
             "WITH base AS (SELECT doc_id,"
             f" (regexp_extract_all(lower(text), '{_P4_TOKEN_REGEX}'))[1:254] AS tk"

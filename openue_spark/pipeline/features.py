@@ -266,3 +266,82 @@ def build_seq_features(corpus: DataFrame, predicates: list[str] | None = None) -
             f" p -> array_contains({pred_set}, p)))"
         ).alias("n_schema_triples"),
     )
+
+
+def build_interactive_features(
+    corpus: DataFrame, predicates: list[str] | None = None
+) -> DataFrame:
+    """Interactive (eval-side) features: tokenized sentence + gold triples
+    as TOKEN OFFSETS (reference convert_examples_to_interactive_features,
+    utils.py:550-613).
+
+    - tokenize with max_length = MAX_SEQ_LENGTH - 2 (same budget as NER)
+    - one offset tuple [h_s, h_e, t_s, t_e, r] per gold triple IN ORDER
+      (not grouped by relation), located with the INTERACTIVE variant of
+      find_word_in_texts (utils.py:564-569, inclusive bound) against
+      `[CLS] w1..wn [SEP]`; offsets are 0-based with exclusive end,
+      exactly the reference's (i, i + len) return
+    - REFERENCE QUIRK REPLICATED: the unlocatable-span drop is DEAD CODE
+      there (`if None in triples` tests list-of-lists membership, never
+      true — utils.py:597-600), so no sentence is ever dropped and
+      unlocatable spans ride through as NULL offsets. The NER builder's
+      drop (build_gold_ner_features) is real; this one is not.
+    - r = rel2id[predicate]; out-of-schema predicates yield NULL r (the
+      reference would raise KeyError row-side — not expressible here; the
+      NULL is the documented deviation)
+    - empty-gold sentences contribute nothing (no triples -> no feature
+      consumer; the reference emits a features row with an empty triples
+      list — preserved here as an empty array)
+
+    Offsets compare word subsequences rather than hashed token ids; the
+    two differ only under a crc32 collision inside one sentence (the
+    word -> id map is a function, so id-subsequence matches are a superset
+    only at collisions).
+    """
+    preds = list(PREDICATES if predicates is None else predicates)
+    rel_map = ", ".join(f"'{p}', {i}" for i, p in enumerate(preds))
+    if "toks" in corpus.columns:
+        toks = corpus.select(
+            "text_id", "gold", F.expr(f"slice(toks, 1, {MAX_WORDS})").alias("toks")
+        )
+    else:
+        toks = corpus.select(
+            "text_id",
+            "gold",
+            F.expr(
+                f"slice(regexp_extract_all(lower(text), '{TOKEN_REGEX_SQL}', 0), 1, {MAX_WORDS})"
+            ).alias("toks"),
+        )
+    hayed = toks.select(
+        "text_id",
+        "gold",
+        F.expr("concat(array('[CLS]'), toks, array('[SEP]'))").alias("hay"),
+        F.expr(
+            "transform(gold, g -> struct("
+            f" regexp_extract_all(lower(g.subject), '{TOKEN_REGEX_SQL}', 0) AS h_toks,"
+            f" regexp_extract_all(lower(g.object), '{TOKEN_REGEX_SQL}', 0) AS t_toks,"
+            " g.predicate AS pred))"
+        ).alias("ents"),
+    )
+    if not hayed.isStreaming:  # same CollapseProject barrier as the NER builder
+        hayed = hayed.localCheckpoint(eager=False)
+    h_pos = locate_expr("hay", "e.h_toks", "interactive")
+    t_pos = locate_expr("hay", "e.t_toks", "interactive")
+    return hayed.select(
+        "text_id",
+        F.expr(
+            "transform(hay, w -> CASE"
+            f" WHEN w = '[CLS]' THEN {CLS_ID}"
+            f" WHEN w = '[SEP]' THEN {SEP_ID}"
+            f" ELSE {VOCAB_BASE} + pmod(crc32(w), {VOCAB_HASH_SIZE}) END)"
+        ).alias("input_ids"),
+        F.expr("transform(hay, w -> 1)").alias("attention_mask"),
+        F.expr(
+            f"transform(ents, e -> struct("
+            f" cast({h_pos} AS int) - 1 AS h_s,"
+            f" cast({h_pos} AS int) - 1 + size(e.h_toks) AS h_e,"
+            f" cast({t_pos} AS int) - 1 AS t_s,"
+            f" cast({t_pos} AS int) - 1 + size(e.t_toks) AS t_e,"
+            f" map({rel_map})[e.pred] AS r))"
+        ).alias("triples"),
+    )

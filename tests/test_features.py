@@ -300,3 +300,44 @@ def test_seq_features_truncation_budget(spark):
     r = build_seq_features(df).collect()[0]
     assert len(r.input_ids) == MAX_SEQ_LENGTH
     assert len(r.attention_mask) == MAX_SEQ_LENGTH
+
+
+def test_interactive_features_offsets_and_dead_drop_quirk(spark):
+    """Interactive builder (utils.py:550-613): 0-based (start, end-exclusive)
+    offsets against [CLS] text [SEP]; one tuple per gold triple IN ORDER;
+    the reference's unlocatable drop is DEAD CODE, so a missing span yields
+    NULL offsets and the row is KEPT; out-of-schema predicates yield NULL r."""
+    from openue_spark.pipeline.features import build_interactive_features
+    from openue_spark.tokenizer import word_id
+
+    rows = [(0, "alpha beta gamma delta", [
+        ("beta", "works_at", "gamma delta"),
+        ("zzz", "works_at", "alpha"),          # unlocatable subject -> NULLs, kept
+        ("alpha", "mystery_rel", "delta"),     # out-of-schema -> r NULL
+    ])]
+    df = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    out = build_interactive_features(df, predicates=["works_at", "born_in"]).collect()
+    assert len(out) == 1
+    r = out[0]
+    # hay = [CLS](0) alpha(1) beta(2) gamma(3) delta(4) [SEP](5)
+    t0, t1, t2 = (tuple(t) for t in r.triples)
+    assert t0 == (2, 3, 3, 5, 0)
+    assert t1 == (None, None, 1, 2, 0)         # dead check: row survives
+    assert t2 == (1, 2, 4, 5, None)            # unknown predicate -> NULL r
+    from openue_spark.config import CLS_ID, SEP_ID
+
+    assert r.input_ids == [CLS_ID] + [word_id(w) for w in
+                                      ["alpha", "beta", "gamma", "delta"]] + [SEP_ID]
+    assert r.attention_mask == [1] * 6
+
+
+def test_interactive_locate_is_inclusive_at_text_end(spark):
+    """An object that is the FINAL text token pair locates fine (interactive
+    variant searches the whole haystack; the trailing [SEP] additionally
+    keeps text spans off the very end)."""
+    from openue_spark.pipeline.features import build_interactive_features
+
+    rows = [(0, "alpha beta", [("alpha", "works_at", "alpha beta")])]
+    df = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    t = tuple(build_interactive_features(df).collect()[0].triples[0])
+    assert t[:4] == (1, 2, 1, 3)
