@@ -411,34 +411,26 @@ def q_p3_empty_gold_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_p4_gold_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pipeline.features import MAX_WORDS, TOKEN_REGEX_SQL, build_gold_ner_features
+    from .pipeline.features import MAX_WORDS, build_gold_ner_features
 
-    docs = _t(spark, sf_dir, "documents")
     # gold is synthesized from the TRUNCATED token list — the builder
     # truncates the haystack to MAX_WORDS, so entities drawn from beyond
     # that bound would be unlocatable on the Spark side only (the oracle
     # mirrors this same slice); the token array feeds straight through to
     # the builder as `toks` so the corpus is tokenized exactly once.
-    toks = F.expr(
-        f"slice(regexp_extract_all(lower(text), '{TOKEN_REGEX_SQL}', 0), 1, {MAX_WORDS})"
-    )
-    corpus = (
-        docs.select(F.col("doc_id").alias("text_id"), toks.alias("tk"))
-        .where(F.size("tk") >= 4)
-        .withColumn("toks", F.col("tk"))
-        .select(
-            "text_id",
-            "toks",
-            F.expr(
-                "array("
-                " struct(element_at(tk, 2) AS subject, 'rel_a' AS predicate,"
-                "  concat(element_at(tk, -2), ' ', element_at(tk, -1)) AS object),"
-                " struct(concat(element_at(tk, 1), ' ', element_at(tk, 2)) AS subject,"
-                "  'rel_b' AS predicate, element_at(tk, -1) AS object),"
-                " struct('zzzmissing' AS subject, 'rel_c' AS predicate,"
-                "  element_at(tk, 1) AS object))"
-            ).alias("gold"),
-        )
+    corpus = _synth_gold_corpus(
+        spark,
+        sf_dir,
+        MAX_WORDS,
+        (
+            "array("
+            " struct(element_at(tk, 2) AS subject, 'rel_a' AS predicate,"
+            "  concat(element_at(tk, -2), ' ', element_at(tk, -1)) AS object),"
+            " struct(concat(element_at(tk, 1), ' ', element_at(tk, 2)) AS subject,"
+            "  'rel_b' AS predicate, element_at(tk, -1) AS object),"
+            " struct('zzzmissing' AS subject, 'rel_c' AS predicate,"
+            "  element_at(tk, 1) AS object))"
+        ),
     )
     feats = build_gold_ner_features(corpus)
     return feats.select(
@@ -455,22 +447,35 @@ def q_p4_gold_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     occurs, so its bit must be 0 everywhere. ---
 
 
-def q_seq_gold_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pipeline.features import TOKEN_REGEX_SQL, build_seq_features
+def _synth_gold_corpus(
+    spark: SparkSession, sf_dir: str, max_words: int, gold_expr: str
+) -> DataFrame:
+    """Shared fixture scaffold for the feature-builder contract queries:
+    documents tokenized and pre-truncated (the oracle mirrors the same
+    slice), gold synthesized from the truncated tokens via `gold_expr`
+    (a SQL expression over `tk`)."""
+    from .pipeline.features import TOKEN_REGEX_SQL
 
-    max_words = 254  # MAX_SEQ_LENGTH - 2: the SEQ tokenize budget
     docs = _t(spark, sf_dir, "documents")
     toks = F.expr(
         f"slice(regexp_extract_all(lower(text), '{TOKEN_REGEX_SQL}', 0), 1, {max_words})"
     )
-    corpus = (
+    return (
         docs.select(F.col("doc_id").alias("text_id"), toks.alias("tk"))
         .where(F.size("tk") >= 4)
-        .withColumn("toks", F.col("tk"))
-        .select(
-            "text_id",
-            "toks",
-            F.expr(
+        .select("text_id", F.col("tk").alias("toks"), F.expr(gold_expr).alias("gold"))
+    )
+
+
+def q_seq_gold_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .config import MAX_SEQ_LENGTH
+    from .pipeline.features import build_seq_features
+
+    corpus = _synth_gold_corpus(
+        spark,
+        sf_dir,
+        MAX_SEQ_LENGTH - 2,  # the SEQ tokenize budget
+        (
                 "CASE WHEN size(tk) % 2 = 0 THEN array("
                 " struct(element_at(tk, 2) AS subject, 'rel_a' AS predicate,"
                 "  element_at(tk, -1) AS object),"
@@ -483,8 +488,7 @@ def q_seq_gold_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "  element_at(tk, -1) AS object),"
                 " struct(element_at(tk, 1) AS subject, 'rel_a' AS predicate,"
                 "  element_at(tk, 3) AS object)) END"
-            ).alias("gold"),
-        )
+        ),
     )
     feats = build_seq_features(corpus, predicates=["rel_a", "rel_b", "rel_x"])
     return feats.select(
@@ -505,29 +509,21 @@ def q_seq_gold_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_interactive_gold_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pipeline.features import MAX_WORDS, TOKEN_REGEX_SQL, build_interactive_features
+    from .pipeline.features import MAX_WORDS, build_interactive_features
 
-    docs = _t(spark, sf_dir, "documents")
-    toks = F.expr(
-        f"slice(regexp_extract_all(lower(text), '{TOKEN_REGEX_SQL}', 0), 1, {MAX_WORDS})"
-    )
-    corpus = (
-        docs.select(F.col("doc_id").alias("text_id"), toks.alias("tk"))
-        .where(F.size("tk") >= 4)
-        .withColumn("toks", F.col("tk"))
-        .select(
-            "text_id",
-            "toks",
-            F.expr(
-                "array("
-                " struct(element_at(tk, 2) AS subject, 'rel_a' AS predicate,"
-                "  concat(element_at(tk, -2), ' ', element_at(tk, -1)) AS object),"
-                " struct(concat(element_at(tk, 1), ' ', element_at(tk, 2)) AS subject,"
-                "  'rel_b' AS predicate, element_at(tk, -1) AS object),"
-                " struct('zzzmissing' AS subject, 'rel_c' AS predicate,"
-                "  element_at(tk, 1) AS object))"
-            ).alias("gold"),
-        )
+    corpus = _synth_gold_corpus(
+        spark,
+        sf_dir,
+        MAX_WORDS,
+        (
+            "array("
+            " struct(element_at(tk, 2) AS subject, 'rel_a' AS predicate,"
+            "  concat(element_at(tk, -2), ' ', element_at(tk, -1)) AS object),"
+            " struct(concat(element_at(tk, 1), ' ', element_at(tk, 2)) AS subject,"
+            "  'rel_b' AS predicate, element_at(tk, -1) AS object),"
+            " struct('zzzmissing' AS subject, 'rel_c' AS predicate,"
+            "  element_at(tk, 1) AS object))"
+        ),
     )
     feats = build_interactive_features(corpus, predicates=["rel_a", "rel_b", "rel_c"])
     return feats.select(
@@ -1048,6 +1044,21 @@ def _duck_locate(ndl: str) -> str:
     )
 
 
+def _duck_seq_features() -> str:
+    from .config import MAX_SEQ_LENGTH
+
+    budget = MAX_SEQ_LENGTH - 2  # derived, like build_seq_features
+    return (
+        "WITH base AS (SELECT doc_id,"
+        f" (regexp_extract_all(lower(text), '{_P4_TOKEN_REGEX}'))[1:{budget}] AS tk"
+        " FROM documents)"
+        " SELECT doc_id, len(tk) + 2 AS n_ids,"
+        " CASE WHEN len(tk) % 2 = 0 THEN '110' ELSE '100' END AS label_bits,"
+        " CASE WHEN len(tk) % 2 = 0 THEN 3 ELSE 2 END AS n_schema_triples"
+        " FROM base WHERE len(tk) >= 4"
+    )
+
+
 def _duck_locate_i(ndl: str) -> str:
     """Interactive variant: inclusive bound (the whole haystack)."""
     return (
@@ -1360,15 +1371,7 @@ def oracle_sql() -> dict[str, str]:
             f"  cast({_duck_locate_i('tn')} AS int) - 1 + len(tn) AS t_e,"
             "  r FROM g"
         ),
-        "seq_gold_features": (
-            "WITH base AS (SELECT doc_id,"
-            f" (regexp_extract_all(lower(text), '{_P4_TOKEN_REGEX}'))[1:254] AS tk"
-            " FROM documents)"
-            " SELECT doc_id, len(tk) + 2 AS n_ids,"
-            " CASE WHEN len(tk) % 2 = 0 THEN '110' ELSE '100' END AS label_bits,"
-            " CASE WHEN len(tk) % 2 = 0 THEN 3 ELSE 2 END AS n_schema_triples"
-            " FROM base WHERE len(tk) >= 4"
-        ),
+        "seq_gold_features": _duck_seq_features(),
         "j2_token_locate": (
             "WITH base AS (SELECT doc_id,"
             " regexp_split_to_array(trim(lower(text)), '\\s+') AS toks"

@@ -97,7 +97,11 @@ def _barrier(df: DataFrame) -> DataFrame:
     equivalent stage table (pipeline.materialize pattern) instead.
     Streaming inputs pass through unchanged (checkpointing a streaming
     DataFrame is illegal; inside foreachBatch the batch DF is non-streaming
-    and gets the barrier as usual).
+    and gets the barrier as usual). Checkpoint blocks are reclaimed by the
+    ContextCleaner once the batch's frames are dereferenced; a long-lived
+    foreachBatch loop on a small driver heap should hold no references
+    across batches (and local mode should raise --driver-memory — see
+    CLAUDE.md) so cleanup keeps pace.
     """
     if df.isStreaming:
         return df

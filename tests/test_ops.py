@@ -306,3 +306,22 @@ def test_frame_plan_short_clip_yields_zero_frames(spark):
     out = {r.media_id: list(r.frame_ts_ms) for r in frame_sample_plan(media, fps=0.5).collect()}
     assert out[1] == []                      # 0.75 frames -> none
     assert out[2] == [0, 2000, 4000]         # 3 frames at 2s spacing
+
+
+def test_embedding_dedup_keep_greedy_chain(spark):
+    """Greedy keep semantics on a transitive near-dup chain A~B~C: every
+    higher id of a verified pair drops, so only the chain head survives;
+    unrelated vectors are untouched."""
+    from openue_spark.ops.dedup import embedding_dedup_keep
+
+    base = np.zeros(64); base[0] = 1.0
+    tilt = np.zeros(64); tilt[0] = 1.0; tilt[1] = 0.05
+    tilt2 = np.zeros(64); tilt2[0] = 1.0; tilt2[1] = 0.1
+    other = np.zeros(64); other[7] = 1.0
+    rows = [
+        (i, [float(x) for x in v])
+        for i, v in ((0, base), (1, tilt), (2, tilt2), (3, other))
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    keep = {r.vec_id for r in embedding_dedup_keep(df, min_cosine=0.95, dim=64).collect()}
+    assert keep == {0, 3}
