@@ -777,6 +777,76 @@ def q_rollup_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- temporal operators over events: as-of join, range join, sessions ---
+#     (Spark lacks these natively; ops/temporal.py re-expresses each as
+#     equi-join + window so the plan is one key shuffle, no inequality
+#     joins. The DuckDB oracles use the NAIVE formulations — native ASOF
+#     JOIN, an inequality self-join, the textbook lag/cumsum — so the two
+#     engines compute the same answer via genuinely different plans.)
+
+
+def q_asof_last_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every non-error event, the most recent prior-or-simultaneous
+    'error' event of the same user (as-of join): epoch-micros of both sides
+    plus the staleness gap. Timestamps travel as bigint micros so the
+    comparison is timezone-representation independent."""
+    from .ops.temporal import asof_join, epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_type") != "error").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    right = ev.where(F.col("event_type") == "error")
+    out = asof_join(
+        left,
+        right,
+        keys=["user_id"],
+        ts_col="ts",
+        attach={
+            "last_error_us": epoch_us(ev, "ts"),
+            "error_value": F.round(F.col("value"), 2),
+        },
+        right_seq_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        epoch_us(ev, "ts").alias("ts_us"),
+        "last_error_us",
+        "error_value",
+        (epoch_us(ev, "ts") - F.col("last_error_us")).alias("staleness_us"),
+    )
+
+
+def q_range_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user stats over all ordered event pairs within 60 s of each other
+    (bucketed range self-join; integer-only aggregates so every value is
+    order-independent and hashes identically across engines)."""
+    from .ops.temporal import range_pair_join
+
+    ev = _t(spark, sf_dir, "events")
+    pairs = range_pair_join(ev, "user_id", "ts", "event_id", window_seconds=60)
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min("gap_us").alias("min_gap_us"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").alias("sum_gap_us"),
+    )
+
+
+def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization of the event stream (10-minute idle gap):
+    per (user, session) event count, start/end epoch-micros, and the
+    decimal-exact value total."""
+    from .ops.temporal import session_summary
+
+    ev = _t(spark, sf_dir, "events")
+    return session_summary(
+        ev, "user_id", "ts", "event_id", gap_seconds=600, value_col="value"
+    )
+
+
 # --- full extraction pipeline (mock forwards — rows-only check) ---
 
 
@@ -891,6 +961,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_topk_orders": q_window_topk_orders,
         "anti_join_quiet_customers": q_anti_join_quiet_customers,
         "rollup_region_revenue": q_rollup_region_revenue,
+        "asof_last_error": q_asof_last_error,
+        "range_pair_stats": q_range_pair_stats,
+        "session_windows": q_session_windows,
         "dedup_exact": q_dedup_exact,
         "text_token_count": q_text_token_count,
         "text_lang_id": q_text_lang_id,
@@ -1435,6 +1508,49 @@ def oracle_sql() -> dict[str, str]:
             " JOIN nation ON c_nationkey = n_nationkey"
             " JOIN region ON n_regionkey = r_regionkey"
             " GROUP BY ROLLUP (r_name, n_name)"
+        ),
+        "asof_last_error": (
+            # native ASOF JOIN — a genuinely different plan from the Spark
+            # union+window formulation. Right side first deduped to one row
+            # per (user, ts) with the highest event_id winning, mirroring
+            # the operator's max_by tiebreak.
+            "WITH err AS (SELECT user_id, ts,"
+            "  round(arg_max(value, event_id), 2) AS error_value"
+            " FROM events WHERE event_type = 'error' GROUP BY user_id, ts),"
+            " lhs AS (SELECT event_id, user_id, event_type, ts FROM events"
+            "  WHERE event_type <> 'error')"
+            " SELECT l.event_id, l.user_id, l.event_type,"
+            "  epoch_us(l.ts) AS ts_us, epoch_us(e.ts) AS last_error_us,"
+            "  e.error_value,"
+            "  epoch_us(l.ts) - epoch_us(e.ts) AS staleness_us"
+            " FROM lhs l ASOF LEFT JOIN err e"
+            "  ON l.user_id = e.user_id AND l.ts >= e.ts"
+        ),
+        "range_pair_stats": (
+            # naive inequality self-join (fine at oracle scale; the Spark
+            # side uses the bucketed equi-join). sums cast off HUGEINT.
+            "WITH p AS (SELECT a.user_id,"
+            "  epoch_us(b.ts) - epoch_us(a.ts) AS gap_us"
+            " FROM events a JOIN events b ON a.user_id = b.user_id"
+            "  AND b.ts > a.ts"
+            "  AND epoch_us(b.ts) - epoch_us(a.ts) <= 60000000)"
+            " SELECT user_id, count(*) AS n_pairs, min(gap_us) AS min_gap_us,"
+            "  max(gap_us) AS max_gap_us, sum(gap_us)::BIGINT AS sum_gap_us"
+            " FROM p GROUP BY user_id"
+        ),
+        "session_windows": (
+            "WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us,"
+            "  value FROM events),"
+            " m AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER"
+            "  (PARTITION BY user_id ORDER BY ts_us, event_id) > 600000000"
+            "  THEN 1 ELSE 0 END AS new_s FROM e),"
+            " s AS (SELECT *, sum(new_s) OVER"
+            "  (PARTITION BY user_id ORDER BY ts_us, event_id"
+            "   ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx FROM m)"
+            " SELECT user_id, session_idx, count(*) AS n_events,"
+            "  min(ts_us) AS start_us, max(ts_us) AS end_us,"
+            "  sum(cast(value AS decimal(18,2)))::DOUBLE AS total_value"
+            " FROM s GROUP BY user_id, session_idx"
         ),
         "minhash_verified_pairs": _DUCK_MINHASH_PAIRS,
         "minhash_dedup_keep": _DUCK_MINHASH_KEEP,
