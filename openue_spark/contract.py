@@ -847,6 +847,56 @@ def q_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_STREAM_SINK_SEQ = [0]
+
+
+def q_streaming_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 10-minute per-event-type counts computed by a REAL
+    Structured Streaming query: file-source stream over the events parquet,
+    stateful windowed agg, availableNow trigger draining to a memory sink.
+    Same answer as the batch GROUP BY the DuckDB oracle runs — upgrading
+    the streaming surface (SURVEY §2.8) from pytest-only to oracle-checked.
+
+    outputMode('complete') so no window is withheld by a watermark at
+    drain time (an append sink would hold back every window past the final
+    watermark and the tail of the data would be missing)."""
+    from .ops.temporal import epoch_us
+    from .streaming import windowed_rates
+
+    # the file stream source needs a DIRECTORY; point it at sf_dir and
+    # glob-filter down to the events table (read-only testdata, no copies)
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    rates = windowed_rates(
+        stream,
+        ts_col="ts",
+        key_col="event_type",
+        window="10 minutes",
+        watermark=None,
+        count_alias="n_events",
+    )
+    _STREAM_SINK_SEQ[0] += 1
+    sink = f"streaming_event_rates_{_STREAM_SINK_SEQ[0]}"
+    q = (
+        rates.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(sink)
+    return out.select(
+        epoch_us(out, "win_start").alias("win_start_us"),
+        "event_type",
+        "n_events",
+    )
+
+
 # --- full extraction pipeline (mock forwards — rows-only check) ---
 
 
@@ -964,6 +1014,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "asof_last_error": q_asof_last_error,
         "range_pair_stats": q_range_pair_stats,
         "session_windows": q_session_windows,
+        "streaming_event_rates": q_streaming_event_rates,
         "dedup_exact": q_dedup_exact,
         "text_token_count": q_text_token_count,
         "text_lang_id": q_text_lang_id,
@@ -1551,6 +1602,13 @@ def oracle_sql() -> dict[str, str]:
             "  min(ts_us) AS start_us, max(ts_us) AS end_us,"
             "  sum(cast(value AS decimal(18,2)))::DOUBLE AS total_value"
             " FROM s GROUP BY user_id, session_idx"
+        ),
+        "streaming_event_rates": (
+            # batch restatement of the streaming windowed agg: epoch-aligned
+            # 10-minute tumbling buckets per event_type
+            "SELECT (epoch_us(ts) // 600000000) * 600000000 AS win_start_us,"
+            " event_type, count(*) AS n_events"
+            " FROM events GROUP BY win_start_us, event_type"
         ),
         "minhash_verified_pairs": _DUCK_MINHASH_PAIRS,
         "minhash_dedup_keep": _DUCK_MINHASH_KEEP,

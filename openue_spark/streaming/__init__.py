@@ -124,18 +124,39 @@ def stateful_triple_dedup(triples: DataFrame) -> DataFrame:
     )
 
 
+def windowed_rates(
+    df: DataFrame,
+    ts_col: str,
+    key_col: str,
+    window: str = "5 minutes",
+    watermark: str | None = "10 minutes",
+    count_alias: str = "n_rows",
+) -> DataFrame:
+    """Tumbling-window per-key row counts over any timestamped stream (or
+    batch DataFrame — the plan is identical, which is the point: one
+    declaration, two execution modes).
+
+    ``watermark=None`` skips the late-data bound — required for
+    ``outputMode("complete")`` sinks where every window stays addressable
+    and nothing is withheld waiting for the watermark to pass.
+    """
+    src = df.withWatermark(ts_col, watermark) if watermark else df
+    return (
+        src.groupBy(F.window(ts_col, window).alias("win"), key_col)
+        .agg(F.count(F.lit(1)).alias(count_alias))
+        .select(
+            F.col("win.start").alias("win_start"),
+            F.col("win.end").alias("win_end"),
+            key_col,
+            count_alias,
+        )
+    )
+
+
 def windowed_turn_rates(
     turns: DataFrame, window: str = "5 minutes", watermark: str = "10 minutes"
 ) -> DataFrame:
     """Tumbling-window per-role turn counts, late data bounded by watermark."""
-    return (
-        turns.withWatermark("ts", watermark)
-        .groupBy(F.window("ts", window).alias("win"), "role")
-        .agg(F.count(F.lit(1)).alias("n_turns"))
-        .select(
-            F.col("win.start").alias("win_start"),
-            F.col("win.end").alias("win_end"),
-            "role",
-            "n_turns",
-        )
+    return windowed_rates(
+        turns, "ts", "role", window=window, watermark=watermark, count_alias="n_turns"
     )

@@ -156,3 +156,39 @@ def test_stateful_triple_dedup_accumulates_across_microbatches(spark, tmp_path):
     # statefulness actually exercised: some key was updated in more than one
     # micro-batch (maxFilesPerTrigger=1 over 3 files => 3 batches)
     assert updates.count() > final.count()
+
+
+def test_streaming_windowed_rates_equal_batch(spark, tmp_path):
+    """The generic windowed_rates op gives the same answer executed as a
+    Structured Streaming query (availableNow -> memory sink, complete mode)
+    and as a plain batch aggregation — one declaration, two engines."""
+    from openue_spark.fixtures import transcripts_spark
+    from openue_spark.streaming import windowed_rates
+
+    turn_dir = str(tmp_path / "turns")
+    transcripts_spark(spark, 500, partitions=2).write.parquet(turn_dir)
+
+    batch_df = spark.read.parquet(turn_dir)
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(turn_dir)
+
+    q = (
+        windowed_rates(stream_df, "ts", "role", window="10 minutes", watermark=None)
+        .writeStream.format("memory")
+        .queryName("win_rates_eq")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+
+    got = {
+        (r.win_start, r.role): r.n_rows
+        for r in spark.table("win_rates_eq").collect()
+    }
+    want = {
+        (r.win_start, r.role): r.n_rows
+        for r in windowed_rates(
+            batch_df, "ts", "role", window="10 minutes", watermark=None
+        ).collect()
+    }
+    assert got == want and len(got) > 0
