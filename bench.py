@@ -98,6 +98,12 @@ def main() -> int:
     timed("p4_gold_alignment", lambda: contract.q_p4_gold_alignment(spark, sf_dir).count())
     timed("embedding_near_dup_bucketed", lambda: contract.q_embedding_near_dup_bucketed(spark, sf_dir).count())
 
+    # temporal + streaming operators over the events table at this sf
+    timed("asof_last_error", lambda: contract.q_asof_last_error(spark, sf_dir).count())
+    timed("range_pair_stats", lambda: contract.q_range_pair_stats(spark, sf_dir).count())
+    timed("session_windows", lambda: contract.q_session_windows(spark, sf_dir).count())
+    timed("streaming_event_rates", lambda: contract.q_streaming_event_rates(spark, sf_dir).count())
+
     total = round(sum(timings.values()), 3)
     spark.stop()
 

@@ -67,56 +67,56 @@ def asof_join(
     breaks ties among right rows sharing (key, ts): the row with the highest
     sequence value wins (deterministic under any partitioning).
 
-    Plan shape: right is first deduped to one row per (key, ts) via ``max_by``
-    (tiny agg), then both sides are unioned with a side tag and scanned by ONE
-    window partitioned on the key — a single hash shuffle; no inequality join,
-    no per-key quadratic work. At 100 TB this is the only formulation that
-    survives: the work per partition is a sort + linear pass.
+    Plan shape: both sides are unioned with a side tag and scanned by ONE
+    window partitioned on the key — a single hash shuffle; no inequality
+    join, no per-key quadratic work, no pre-aggregation (ties are resolved
+    by the window sort order itself: within equal ts, right rows sort by
+    ascending seq, so ``last(..., ignorenulls)`` naturally picks the
+    highest-seq right row — the max_by semantics without a second
+    exchange). At 100 TB this is the only formulation that survives: the
+    work per partition is a sort + linear pass.
     """
     keys = list(keys)
     attach_exprs = {
         name: (F.col(c) if isinstance(c, str) else c) for name, c in attach.items()
     }
 
-    # One right row per (key, ts): highest-seq wins. Evaluate the attach
-    # expressions first so max_by sees plain columns.
     right_flat = right.select(
         *keys,
         F.col(ts_col).alias("_ts"),
-        F.col(right_seq_col).alias("_seq"),
+        F.col(right_seq_col).cast("long").alias("_seq"),
         *[e.alias(f"_a_{n}") for n, e in attach_exprs.items()],
-    )
-    right_dedup = right_flat.groupBy(*keys, "_ts").agg(
-        *[
-            F.max_by(f"_a_{n}", "_seq").alias(f"_a_{n}")
-            for n in attach_exprs
-        ]
     )
 
     left_cols = [c for c in left.columns]
     tagged_left = left.select(
         *left_cols,
         F.col(ts_col).alias("_ts"),
+        F.lit(None).cast("long").alias("_seq"),
         F.lit(0).alias("_is_right"),
         *[
-            F.lit(None).cast(right_dedup.schema[f"_a_{n}"].dataType).alias(f"_a_{n}")
+            F.lit(None).cast(right_flat.schema[f"_a_{n}"].dataType).alias(f"_a_{n}")
             for n in attach_exprs
         ],
     )
-    tagged_right = right_dedup.select(
+    tagged_right = right_flat.select(
         *[
             F.col(k) if k in keys else F.lit(None).cast(left.schema[k].dataType).alias(k)
             for k in left_cols
         ],
         F.col("_ts"),
+        F.col("_seq"),
         F.lit(1).alias("_is_right"),
         *[F.col(f"_a_{n}") for n in attach_exprs],
     )
 
-    # Right rows sort BEFORE left rows at equal ts (as-of is <=, inclusive).
+    # Right rows sort BEFORE left rows at equal ts (as-of is <=, inclusive);
+    # among right rows at equal ts, ascending seq puts the winner last.
+    # Left rows' mutual order at equal ts is irrelevant: each row's frame
+    # ends at itself and ignorenulls skips other left rows entirely.
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_ts").asc(), F.col("_is_right").desc())
+        .orderBy(F.col("_ts").asc(), F.col("_is_right").desc(), F.col("_seq").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     out = tagged_left.unionByName(tagged_right)
@@ -124,7 +124,7 @@ def asof_join(
         out = out.withColumn(n, F.last(f"_a_{n}", ignorenulls=True).over(w))
     return (
         out.where(F.col("_is_right") == 0)
-        .drop("_ts", "_is_right", *[f"_a_{n}" for n in attach_exprs])
+        .drop("_ts", "_seq", "_is_right", *[f"_a_{n}" for n in attach_exprs])
     )
 
 
