@@ -879,7 +879,7 @@ def q_streaming_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         watermark=None,
         count_alias="n_events",
     )
-    _STREAM_SINK_SEQ[0] += 1
+    _STREAM_SINK_SEQ[0] += 1  # unique memory-sink name per invocation
     sink = f"streaming_event_rates_{_STREAM_SINK_SEQ[0]}"
     q = (
         rates.writeStream.format("memory")
@@ -894,6 +894,27 @@ def q_streaming_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
         epoch_us(out, "win_start").alias("win_start_us"),
         "event_type",
         "n_events",
+    )
+
+
+def q_event_type_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-agg + ordered-analytics breadth: per (day, event_type) the
+    exact distinct-user count and exact interpolated value percentiles.
+    count(DISTINCT) plans as Spark's two-phase partial-distinct agg; the
+    exact percentile is a sort-based agg — both one shuffle on the group
+    key. Percentiles rounded to 4 decimals on both engines (interpolation
+    arithmetic may differ in the last ulp)."""
+    from .ops.temporal import epoch_us
+
+    ev = _t(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type", "user_id", "value", epoch_us(ev, "ts").alias("ts_us")
+    ).withColumn("day_idx", F.expr("ts_us div 86400000000"))
+    return e.groupBy("day_idx", "event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50_value"),
+        F.round(F.expr("percentile(value, 0.95)"), 4).alias("p95_value"),
     )
 
 
@@ -1015,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "range_pair_stats": q_range_pair_stats,
         "session_windows": q_session_windows,
         "streaming_event_rates": q_streaming_event_rates,
+        "event_type_daily_stats": q_event_type_daily_stats,
         "dedup_exact": q_dedup_exact,
         "text_token_count": q_text_token_count,
         "text_lang_id": q_text_lang_id,
@@ -1609,6 +1631,15 @@ def oracle_sql() -> dict[str, str]:
             "SELECT (epoch_us(ts) // 600000000) * 600000000 AS win_start_us,"
             " event_type, count(*) AS n_events"
             " FROM events GROUP BY win_start_us, event_type"
+        ),
+        "event_type_daily_stats": (
+            "WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day_idx,"
+            "  event_type, user_id, value FROM events)"
+            " SELECT day_idx, event_type,"
+            "  count(DISTINCT user_id) AS n_users, count(*) AS n_events,"
+            "  round(quantile_cont(value, 0.5), 4) AS p50_value,"
+            "  round(quantile_cont(value, 0.95), 4) AS p95_value"
+            " FROM e GROUP BY day_idx, event_type"
         ),
         "minhash_verified_pairs": _DUCK_MINHASH_PAIRS,
         "minhash_dedup_keep": _DUCK_MINHASH_KEEP,
