@@ -80,6 +80,13 @@ def asof_join(
     attach_exprs = {
         name: (F.col(c) if isinstance(c, str) else c) for name, c in attach.items()
     }
+    reserved = {"_ts", "_seq", "_is_right"} | {f"_a_{n}" for n in attach_exprs}
+    clash = reserved & set(left.columns)
+    if clash:
+        raise ValueError(f"left columns collide with asof_join internals: {clash}")
+    clash = set(attach_exprs) & set(left.columns)
+    if clash:
+        raise ValueError(f"attach names shadow left columns: {clash}")
 
     right_flat = right.select(
         *keys,
