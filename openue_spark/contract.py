@@ -881,6 +881,10 @@ def q_streaming_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _STREAM_SINK_SEQ[0] += 1  # unique memory-sink name per invocation
     sink = f"streaming_event_rates_{_STREAM_SINK_SEQ[0]}"
+    # the PREVIOUS invocation's sink view is no longer needed (its rows are
+    # only reachable through a caller-held DataFrame, if any) — drop it so
+    # repeated calls (bench best-of-N passes) don't accumulate tables
+    spark.catalog.dropTempView(f"streaming_event_rates_{_STREAM_SINK_SEQ[0] - 1}")
     q = (
         rates.writeStream.format("memory")
         .queryName(sink)
@@ -1627,9 +1631,11 @@ def oracle_sql() -> dict[str, str]:
         ),
         "streaming_event_rates": (
             # batch restatement of the streaming windowed agg: epoch-aligned
-            # 10-minute tumbling buckets per event_type
-            "SELECT (epoch_us(ts) // 600000000) * 600000000 AS win_start_us,"
-            " event_type, count(*) AS n_events"
+            # 10-minute tumbling buckets per event_type. time_bucket, not
+            # // division: Spark's window() FLOORS the window start while
+            # DuckDB // truncates toward zero — they disagree pre-1970.
+            "SELECT epoch_us(time_bucket(INTERVAL '10 minutes', ts))"
+            " AS win_start_us, event_type, count(*) AS n_events"
             " FROM events GROUP BY win_start_us, event_type"
         ),
         "event_type_daily_stats": (

@@ -46,7 +46,8 @@ def epoch_us(df: DataFrame, ts_col: str) -> Column:
     t = df.schema[ts_col].dataType.typeName()
     if t == "timestamp_ntz":
         return F.expr(
-            f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', {ts_col})"
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00',"
+            f" `{ts_col}`)"
         )
     return F.unix_micros(F.col(ts_col))
 
@@ -67,6 +68,12 @@ def asof_join(
     breaks ties among right rows sharing (key, ts): the row with the highest
     sequence value wins (deterministic under any partitioning).
 
+    All attach columns come from the SAME winning right row: they are packed
+    into one struct before the window pass, so a NULL field in the winning
+    row stays NULL in the output (a per-column ``last(ignorenulls)`` would
+    instead backfill each NULL independently from older rows — mixed-row
+    output that is not an as-of join).
+
     Plan shape: both sides are unioned with a side tag and scanned by ONE
     window partitioned on the key — a single hash shuffle; no inequality
     join, no per-key quadratic work, no pre-aggregation (ties are resolved
@@ -80,7 +87,7 @@ def asof_join(
     attach_exprs = {
         name: (F.col(c) if isinstance(c, str) else c) for name, c in attach.items()
     }
-    reserved = {"_ts", "_seq", "_is_right"} | {f"_a_{n}" for n in attach_exprs}
+    reserved = {"_ts", "_seq", "_is_right", "_att"}
     clash = reserved & set(left.columns)
     if clash:
         raise ValueError(f"left columns collide with asof_join internals: {clash}")
@@ -88,11 +95,14 @@ def asof_join(
     if clash:
         raise ValueError(f"attach names shadow left columns: {clash}")
 
+    # One struct holds every attach value of a right row; the struct itself
+    # is non-null for right rows even when individual fields are NULL, so
+    # last(ignorenulls) picks whole rows atomically.
     right_flat = right.select(
         *keys,
         F.col(ts_col).alias("_ts"),
         F.col(right_seq_col).cast("long").alias("_seq"),
-        *[e.alias(f"_a_{n}") for n, e in attach_exprs.items()],
+        F.struct(*[e.alias(n) for n, e in attach_exprs.items()]).alias("_att"),
     )
 
     left_cols = [c for c in left.columns]
@@ -101,10 +111,7 @@ def asof_join(
         F.col(ts_col).alias("_ts"),
         F.lit(None).cast("long").alias("_seq"),
         F.lit(0).alias("_is_right"),
-        *[
-            F.lit(None).cast(right_flat.schema[f"_a_{n}"].dataType).alias(f"_a_{n}")
-            for n in attach_exprs
-        ],
+        F.lit(None).cast(right_flat.schema["_att"].dataType).alias("_att"),
     )
     tagged_right = right_flat.select(
         *[
@@ -114,7 +121,7 @@ def asof_join(
         F.col("_ts"),
         F.col("_seq"),
         F.lit(1).alias("_is_right"),
-        *[F.col(f"_a_{n}") for n in attach_exprs],
+        F.col("_att"),
     )
 
     # Right rows sort BEFORE left rows at equal ts (as-of is <=, inclusive);
@@ -126,12 +133,13 @@ def asof_join(
         .orderBy(F.col("_ts").asc(), F.col("_is_right").desc(), F.col("_seq").asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    out = tagged_left.unionByName(tagged_right)
+    out = tagged_left.unionByName(tagged_right).withColumn(
+        "_att", F.last("_att", ignorenulls=True).over(w)
+    )
     for n in attach_exprs:
-        out = out.withColumn(n, F.last(f"_a_{n}", ignorenulls=True).over(w))
-    return (
-        out.where(F.col("_is_right") == 0)
-        .drop("_ts", "_seq", "_is_right", *[f"_a_{n}" for n in attach_exprs])
+        out = out.withColumn(n, F.col("_att").getField(n))
+    return out.where(F.col("_is_right") == 0).drop(
+        "_ts", "_seq", "_is_right", "_att"
     )
 
 
@@ -212,6 +220,9 @@ def sessionize(
     order; ties broken by ``seq_col``). One window shuffle on the key —
     the batch equivalent of Structured Streaming ``session_window``.
     """
+    clash = {"_ts_us", "_new", "session_idx"} & set(events.columns)
+    if clash:
+        raise ValueError(f"input columns collide with sessionize internals: {clash}")
     gap_us = int(gap_seconds) * 1_000_000
     order = [F.col("_ts_us").asc(), F.col(seq_col).asc()]
     w_lag = Window.partitionBy(key).orderBy(*order)

@@ -131,6 +131,30 @@ def test_asof_duplicate_right_ts_highest_seq_wins(spark):
     assert len(got) == 1 and got[0].error_value == 9.0
 
 
+def test_asof_null_attach_value_stays_null(spark):
+    """A NULL attach value in the WINNING right row must come through as
+    NULL — not be backfilled from an older right row (attach columns are
+    picked atomically from one row, not per-column last(ignorenulls))."""
+    rows = [
+        _ev(0, 1, "error", 10.0, 5.0),
+        Row(event_id=1, user_id=1, event_type="error",
+            ts=EPOCH + dt.timedelta(seconds=20.0), value=None),
+        _ev(2, 1, "click", 25.0),
+    ]
+    df = _events_df(spark, rows)
+    got = asof_join(
+        df.where(F.col("event_type") == "click"),
+        df.where(F.col("event_type") == "error"),
+        keys=["user_id"],
+        ts_col="ts",
+        attach={"error_ts": "ts", "error_value": "value"},
+        right_seq_col="event_id",
+    ).collect()
+    assert len(got) == 1
+    assert got[0].error_ts == EPOCH + dt.timedelta(seconds=20.0)
+    assert got[0].error_value is None  # NOT 5.0 from the older row
+
+
 def test_asof_randomized(spark):
     rows = _random_events(seed=7, n=300, users=5, max_sec=3600)
     _run_asof(spark, rows)
