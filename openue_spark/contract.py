@@ -383,6 +383,43 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MEDIA_N = 600  # fixture size for the oracle-checked multimodal plan queries
+
+
+def q_multimodal_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning over the media table's typed metadata — pure column
+    math, so it IS oracle-checkable: the DuckDB side re-derives the
+    metadata from range() (synth_media's meta is a documented pure function
+    of media_id) and mirrors the scale/ceil arithmetic in identical double
+    ops. Covers the metadata half of ops.multimodal; only the pixel decode
+    itself stays behind the stubbed codec seam."""
+    from .ops.multimodal import resize_plan, synth_media
+
+    media = synth_media(spark, _MEDIA_N)  # fixed n: the oracle is static SQL
+    return resize_plan(media, max_side=256)
+
+
+def q_multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan, oracle-checked like the resize plan.
+    fps = 1/64 (an exact binary double, so timestamp/count arithmetic is
+    bit-identical across engines) also exercises the zero-frame edge:
+    clips shorter than 64 s plan an EMPTY timestamp list, not [0, -1].
+    The array renders as a CSV string (driver canonicalization cannot sort
+    list cells — the multimodal_features round-1 lesson)."""
+    from .ops.multimodal import frame_sample_plan, synth_media
+
+    media = synth_media(spark, _MEDIA_N)  # fixed n: the oracle is static SQL
+    plan = frame_sample_plan(media, fps=0.015625)
+    return plan.select(
+        "media_id",
+        "duration_ms",
+        F.size("frame_ts_ms").alias("n_frames"),
+        F.expr(
+            "array_join(transform(frame_ts_ms, x -> cast(x as string)), ',')"
+        ).alias("frame_ts_csv"),
+    )
+
+
 # --- P3: empty-gold filter (reference utils.py:368-369) ---
 
 
@@ -994,6 +1031,46 @@ def q_link_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_link_increment_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance == full recompute, machine-checked: batch 1
+    (the fixture's base tokens) is linked from scratch, batch 2 (the
+    pluralized variants) is folded in via incremental_canonical_mapping —
+    while the DuckDB oracle computes the FULL transitive closure +
+    canonicalization over the union corpus in one shot. A green row is a
+    value-level proof of the increment's exactness regime
+    (max_bucket=None, pure-Jaccard edges; pipeline/linking.py docstring)."""
+    from .pipeline.linking import (
+        candidate_pairs_banded,
+        canonicalize,
+        connected_components,
+        incremental_canonical_mapping,
+    )
+
+    toks = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("mention"))
+        .where(F.length("mention") >= 3)
+        .distinct()
+        .withColumn("mention_id", F.col("mention"))
+    )
+    plants = toks.select(
+        F.concat(F.col("mention"), F.lit("s")).alias("mention")
+    ).withColumn("mention_id", F.col("mention"))
+    edges1 = candidate_pairs_banded(toks, jaccard_distance=0.6).select("a_id", "b_id")
+    prior = canonicalize(
+        toks, connected_components(toks, edges1, max_iterations=50, strict=True)
+    )
+    mapping = incremental_canonical_mapping(
+        prior,
+        plants,
+        jaccard_distance=0.6,
+        min_cosine=None,
+        max_bucket=None,
+        strict=True,
+    )
+    return mapping.select("mention", "canonical")
+
+
 def q_link_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import extract_triples
     from .pipeline.linking import canonical_triples, link_entities
@@ -1048,6 +1125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_triples": q_extract_triples,
         "link_blocking_pairs": q_link_blocking_pairs,
         "link_connected_components": q_link_connected_components,
+        "link_increment_components": q_link_increment_components,
         "link_canonical_triples": q_link_canonical_triples,
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "minhash_dedup_keep": q_minhash_dedup_keep,
@@ -1060,6 +1138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
+        "multimodal_resize_plan": q_multimodal_resize_plan,
+        "multimodal_frame_plan": q_multimodal_frame_plan,
     }
 
 
@@ -1315,6 +1395,30 @@ _DUCK_LINK_CC = (
     " SELECT node AS mention, min(label) AS component FROM walk GROUP BY node"
 )
 
+# Full-recompute canonical mapping over the union corpus — the oracle for
+# the INCREMENTAL Spark query (q_link_increment_components): exact closure,
+# then per-component representative = (shortest, then lexicographically
+# least) member, mirroring linking.canonicalize's struct-min on
+# (length, mention, mention_id) with mention_id == mention here. The
+# zero-padded-length prefix makes the lexicographic arg_min key order by
+# (length, mention) exactly like the numeric struct compare.
+_DUCK_LINK_INC = (
+    f"WITH RECURSIVE {_duck_link_base()},"
+    " edges AS (SELECT a_m AS src, b_m AS dst FROM verified WHERE jd <= 0.6"
+    "  UNION SELECT b_m, a_m FROM verified WHERE jd <= 0.6),"
+    " walk(node, label) AS ("
+    "  SELECT mention, mention FROM mentions"
+    "  UNION"
+    "  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),"
+    " comp AS (SELECT node AS mention, min(label) AS component"
+    "  FROM walk GROUP BY node),"
+    " reps AS (SELECT component, arg_min(mention,"
+    "   lpad(cast(length(mention) AS VARCHAR), 8, '0') || mention) AS canonical"
+    "  FROM comp GROUP BY component)"
+    " SELECT c.mention, r.canonical FROM comp c"
+    " JOIN reps r ON c.component = r.component"
+)
+
 
 def _duck_embedding_lsh_ctes(dim: int = 64) -> str:
     """Shared CTEs mirroring ops.dedup's sign-LSH construction: identical
@@ -1564,6 +1668,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "link_blocking_pairs": _DUCK_LINK_PAIRS,
         "link_connected_components": _DUCK_LINK_CC,
+        "link_increment_components": _DUCK_LINK_INC,
         "window_topk_orders": (
             "SELECT o_custkey, o_orderkey, rnk,"
             " round(cast(o_totalprice AS decimal(18,2)), 2)::DOUBLE AS price FROM ("
@@ -1684,6 +1789,36 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id,"
             " md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint"
             " FROM documents"
+        ),
+        # synth_media's metadata is a pure function of media_id
+        # (ops/multimodal.py:64-85): kind = ['image','audio','video'][i%3],
+        # width = 64*(1+i%16), height = 64*(1+(i//3)%12),
+        # duration_ms = 1000*(1+i%300) — re-derived here from range() so
+        # the plan math is value-checked without shipping the media table.
+        # NB cast(double AS INT) ROUNDS in DuckDB but truncates in Spark:
+        # every fractional cast goes through floor() (values are >= 0).
+        "multimodal_resize_plan": (
+            "WITH m AS (SELECT i AS media_id, 64 * (1 + i % 16) AS width,"
+            "  64 * (1 + (i // 3) % 12) AS height"
+            " FROM range(600) t(i) WHERE i % 3 = 0),"
+            " s AS (SELECT media_id, width, height,"
+            "  CASE WHEN greatest(width, height) > 256"
+            "   THEN 256 / cast(greatest(width, height) AS DOUBLE)"
+            "   ELSE 1.0 END AS sc FROM m)"
+            " SELECT media_id, width::INT AS width, height::INT AS height,"
+            "  round(sc, 4) AS scale,"
+            "  cast(ceil(width * sc) AS INT) AS new_width,"
+            "  cast(ceil(height * sc) AS INT) AS new_height FROM s"
+        ),
+        "multimodal_frame_plan": (
+            "WITH v AS (SELECT i AS media_id, 1000 * (1 + i % 300) AS duration_ms"
+            "  FROM range(600) t(i) WHERE i % 3 = 2),"
+            " p AS (SELECT media_id, duration_ms,"
+            "  cast(floor(duration_ms * 0.015625 / 1000.0) AS INT) AS n FROM v)"
+            " SELECT media_id, duration_ms::INT AS duration_ms, n AS n_frames,"
+            "  coalesce(array_to_string(list_transform(range(0, n),"
+            "   j -> cast(cast(floor(j * 1000.0 / 0.015625) AS INT) AS VARCHAR)), ','),"
+            "   '') AS frame_ts_csv FROM p"  # range(0,0) -> NULL, not []
         ),
         # extract_triples, link_canonical_triples, ann_ivf_topk,
         # multimodal_features: no oracle (mock model forwards / seeded LSH /

@@ -82,9 +82,14 @@ def transcripts_from_idx(idx: np.ndarray) -> pd.DataFrame:
     )
 
 
-def transcripts_spark(spark, n_turns: int, partitions: int | None = None):
+def transcripts_spark(
+    spark, n_turns: int, partitions: int | None = None, offset: int = 0
+):
     """Distributed synthesis: spark.range -> mapInPandas, each batch derived
     from the global index — no driver-side materialization, scales linearly.
+    `offset` starts the index window at a later turn: every turn is a pure
+    function of its global index, so [0, n) followed by [n, n+m) is
+    bit-identical to one [0, n+m) corpus — the incremental-job fixture.
     """
     from pyspark.sql import types as T
 
@@ -106,7 +111,9 @@ def transcripts_spark(spark, n_turns: int, partitions: int | None = None):
                 continue
             yield transcripts_from_idx(ids)
 
-    rng = spark.range(0, n_turns, 1, partitions or spark.sparkContext.defaultParallelism)
+    rng = spark.range(
+        offset, offset + n_turns, 1, partitions or spark.sparkContext.defaultParallelism
+    )
     return rng.mapInPandas(gen, schema=schema)
 
 

@@ -18,9 +18,17 @@ or over an existing transcripts table:
   spark-submit --py-files /tmp/openue_spark.zip openue_spark/job.py \\
       --input /path/to/transcripts_parquet --out /tmp/kg_out
 
+and fold a NEW batch into an existing KG without re-linking the corpus
+(incremental maintenance; see pipeline/linking.py + PLANS.md §13):
+
+  spark-submit --py-files /tmp/openue_spark.zip openue_spark/job.py \\
+      --input /path/to/new_batch_parquet --out /tmp/kg_out --increment
+
 Stages: sharded checkpoint-resumable extraction (manifest lineage) ->
-entity linking/canonicalization -> deduplicated triple table partitioned by
-predicate. Re-submitting after a failure resumes from the manifest.
+entity linking/canonicalization (mapping persisted to mapping/) ->
+deduplicated triple table partitioned by predicate. Re-submitting after a
+failure resumes from the manifest; --increment re-links only the
+components the batch touches and re-points only changed graph rows.
 """
 
 from __future__ import annotations
@@ -42,10 +50,27 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     src = parser.add_mutually_exclusive_group(required=True)
     src.add_argument("--input", help="parquet dir of transcripts (conv_id, turn_idx, role, text, tool, ts)")
     src.add_argument("--synthesize", type=int, help="synthesize N deterministic transcript turns")
-    parser.add_argument("--out", required=True, help="output dir (triples/, graph/, manifest/)")
+    parser.add_argument(
+        "--synthesize-offset", type=int, default=0,
+        help="start --synthesize at this global turn index (disjoint batches"
+        " for incremental runs; turns are a pure function of the index)",
+    )
+    parser.add_argument("--out", required=True, help="output dir (triples/, graph/, manifest/, mapping/)")
     parser.add_argument("--shards", type=int, default=16, help="conv_id-hash shards for resumability")
     parser.add_argument("--no-link", action="store_true", help="skip entity linking/canonicalization")
     parser.add_argument("--salt-buckets", type=int, default=16, help="dedup skew-salt buckets")
+    parser.add_argument(
+        "--increment", action="store_true",
+        help="treat --input/--synthesize as a NEW batch folded into the"
+        " existing KG at --out (requires a prior linked run's mapping/ and"
+        " graph/); re-links only components the batch touches and re-points"
+        " only graph rows whose canonical changed",
+    )
+    parser.add_argument(
+        "--max-bucket", default="256",
+        help="LSH hot-bucket cap for linking; 'none' disables it (the"
+        " increment-equals-full-recompute exactness regime)",
+    )
     parser.add_argument(
         "--weights-from",
         help="load the best (metric, step) weights checkpoint from this dir's"
@@ -53,6 +78,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         " (default: built-in weights)",
     )
     args = parser.parse_args(argv)
+    if args.increment and args.no_link:
+        parser.error("--increment folds into a LINKED graph; drop --no-link")
+    max_bucket = (
+        None if str(args.max_bucket).lower() == "none" else int(args.max_bucket)
+    )
 
     owns_session = spark is None
     if owns_session:
@@ -110,17 +140,108 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.input:
         transcripts = spark.read.parquet(args.input)
     else:
-        transcripts = transcripts_spark(spark, args.synthesize)
+        transcripts = transcripts_spark(
+            spark, args.synthesize, offset=args.synthesize_offset
+        )
 
+    # an increment's extraction manifest lives under its own subdir: the
+    # batch shares shard ids with the base corpus, so reusing the base
+    # manifest would wrongly skip "completed" shards (resume stays
+    # per-batch: re-submitting a failed increment resumes ITS shards)
+    extract_dir = f"{args.out}/increments/{run_id}" if args.increment else args.out
     raw = run_extraction_resumable(
-        spark, transcripts, args.out, n_shards=args.shards, weights_bc=weights_bc
+        spark, transcripts, extract_dir, n_shards=args.shards, weights_bc=weights_bc
     )
     n_raw = raw.count()
     print(f"[job] extraction complete: {n_raw} raw triples ({time.time() - t0:.1f}s)")
 
+    if args.increment:
+        import os
+
+        from pyspark.sql import functions as F
+
+        from openue_spark.pipeline.linking import link_entities_increment, mapping_delta
+        from openue_spark.pipeline.materialize import (
+            dedup_triples_salted,
+            write_graph_table,
+        )
+
+        for sub in ("mapping", "graph"):
+            if not os.path.isdir(f"{args.out}/{sub}"):
+                raise SystemExit(
+                    f"--increment needs an existing linked KG at {args.out}"
+                    f" (missing {sub}/); run a full job there first"
+                )
+        t1 = time.time()
+        prior = spark.read.parquet(f"{args.out}/mapping")
+        updated = link_entities_increment(prior, raw, max_bucket=max_bucket)
+        # delta = the only mentions whose canonical changed; checkpointed —
+        # it feeds two joins and a driver count
+        delta = mapping_delta(prior, updated).localCheckpoint(eager=True)
+        n_changed = delta.count()
+        print(
+            f"[job] incremental linking: {n_changed} mentions re-canonicalized "
+            f"({time.time() - t1:.1f}s)"
+        )
+        t2 = time.time()
+        new_agg = dedup_triples_salted(
+            canonical_triples(raw, updated), args.salt_buckets
+        )
+        old_graph = spark.read.parquet(f"{args.out}/graph")
+        subj_d = delta.select(
+            F.col("mention").alias("subj"), F.col("new_canonical").alias("subj_new")
+        )
+        obj_d = delta.select(
+            F.col("mention").alias("obj"), F.col("new_canonical").alias("obj_new")
+        )
+        # re-point ONLY rows whose subj/obj canonical changed (left joins
+        # against the small delta — AQE broadcasts it); merged aggregates
+        # re-combine where a merge collapsed two canonical triples into one
+        repointed = (
+            old_graph.join(subj_d, "subj", "left")
+            .join(obj_d, "obj", "left")
+            .select(
+                F.coalesce("subj_new", "subj").alias("subj"),
+                "pred",
+                F.coalesce("obj_new", "obj").alias("obj"),
+                "support",
+                "first_conv",
+            )
+        )
+        merged = (
+            repointed.unionByName(
+                new_agg.select("subj", "pred", "obj", "support", "first_conv")
+            )
+            .groupBy("subj", "pred", "obj")
+            .agg(
+                F.sum("support").alias("support"),
+                F.min("first_conv").alias("first_conv"),
+            )
+            # materialize BEFORE overwriting the graph dir the plan reads
+            # from (at production scale: write graph_v{n+1} and swap a
+            # catalog pointer instead of overwrite-in-place)
+            .localCheckpoint(eager=True)
+        )
+        updated.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            f"{args.out}/mapping"
+        )
+        write_graph_table(merged, f"{args.out}/graph")
+        n_graph = spark.read.parquet(f"{args.out}/graph").count()
+        print(
+            f"[job] graph refreshed: {n_graph} canonical triples after folding "
+            f"{n_raw} new raw triples ({time.time() - t2:.1f}s); "
+            f"total {time.time() - t0:.1f}s"
+        )
+        if owns_session:
+            spark.stop()
+        return 0
+
     if not args.no_link:
         t1 = time.time()
-        mapping = link_entities(raw)
+        mapping = link_entities(raw, max_bucket=max_bucket)
+        # persist the mapping: it IS the linking state an --increment run
+        # folds new batches into
+        mapping.write.mode("overwrite").parquet(f"{args.out}/mapping")
         final = canonical_triples(raw, mapping)
         print(f"[job] linking complete ({time.time() - t1:.1f}s)")
     else:

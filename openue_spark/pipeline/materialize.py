@@ -231,11 +231,21 @@ def write_triple_table(
     (north-rule layout: predicate + conv_id bucket; hive-style dirs here,
     identical layout under Iceberg `PARTITIONED BY (pred, bucket(N,
     first_conv))`). In-file order is (subj, obj) for scan locality."""
-    deduped = dedup_triples_salted(triples, salt_buckets).withColumn(
+    write_graph_table(
+        dedup_triples_salted(triples, salt_buckets), path, conv_buckets
+    )
+
+
+def write_graph_table(deduped: DataFrame, path: str, conv_buckets: int = 8) -> None:
+    """Layout-only writer for ALREADY-aggregated (subj, pred, obj, support,
+    first_conv) rows — shared by the full build (write_triple_table) and
+    the incremental job path, which merges an existing graph with a new
+    batch's aggregate and must not re-count support."""
+    out = deduped.withColumn(
         "conv_bucket", F.pmod(F.xxhash64("first_conv"), F.lit(conv_buckets)).cast("int")
     )
     (
-        deduped.repartition("pred", "conv_bucket")
+        out.repartition("pred", "conv_bucket")
         .sortWithinPartitions("subj", "obj")
         .write.mode("overwrite")
         .partitionBy("pred", "conv_bucket")

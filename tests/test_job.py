@@ -37,3 +37,57 @@ def test_job_main_input_path_resumes(spark, tmp_path):
     assert main(["--input", inp, "--out", out, "--no-link", "--shards", "2"], spark=spark) == 0
     assert spark.read.parquet(f"{out}/triples").count() == n1
     assert spark.read.parquet(f"{out}/manifest").count() == m1  # nothing re-ran
+
+
+def test_job_incremental_fold_equals_full_run(spark, tmp_path):
+    """Full run over [0, 3000) + --increment fold of [3000, 4500) must yield
+    the SAME graph table (rows, support counts, provenance) as one full run
+    over [0, 4500) — in the max-bucket=none exactness regime."""
+    from openue_spark.job import main
+
+    def graph_rows(out):
+        return {
+            tuple(r)
+            for r in spark.read.parquet(f"{out}/graph")
+            .select("subj", "pred", "obj", "support", "first_conv")
+            .collect()
+        }
+
+    out_inc = str(tmp_path / "kg_inc")
+    base = ["--shards", "2", "--max-bucket", "none"]
+    assert main(["--synthesize", "3000", "--out", out_inc] + base, spark=spark) == 0
+    assert (
+        main(
+            ["--synthesize", "1500", "--synthesize-offset", "3000",
+             "--increment", "--out", out_inc] + base,
+            spark=spark,
+        )
+        == 0
+    )
+    out_full = str(tmp_path / "kg_full")
+    assert main(["--synthesize", "4500", "--out", out_full] + base, spark=spark) == 0
+
+    assert graph_rows(out_inc) == graph_rows(out_full)
+    # the folded mapping equals the full run's mapping too
+    m_inc = {
+        (r.mention, r.canonical)
+        for r in spark.read.parquet(f"{out_inc}/mapping").collect()
+    }
+    m_full = {
+        (r.mention, r.canonical)
+        for r in spark.read.parquet(f"{out_full}/mapping").collect()
+    }
+    assert m_inc == m_full
+
+
+def test_job_increment_requires_prior_linked_run(spark, tmp_path):
+    import pytest
+
+    from openue_spark.job import main
+
+    out = str(tmp_path / "empty_kg")
+    with pytest.raises(SystemExit):
+        main(
+            ["--synthesize", "500", "--increment", "--out", out, "--shards", "2"],
+            spark=spark,
+        )

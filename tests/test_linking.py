@@ -197,3 +197,118 @@ def test_candidate_edges_hot_bucket_cap(spark):
     assert dflt == fused
     capped = candidate_edges(mentions, emb, 0.6, 0.85, max_bucket=2).count()
     assert capped < len(fused)
+
+
+# --- incremental maintenance (link_entities_increment) ---
+
+
+def _mk_triples(spark, mentions, start=0):
+    """One triple per adjacent mention pair (keeps every mention present as
+    subj or obj)."""
+    rows = [
+        (f"c{start + i}", 0, mentions[i], 0, "rel", mentions[(i + 1) % len(mentions)])
+        for i in range(len(mentions))
+    ]
+    return spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, subj string, rel_id int, pred string, obj string",
+    )
+
+
+def test_increment_equals_full_recompute(spark):
+    """Folding batch 2 into batch 1's mapping must equal link_entities over
+    the union corpus (max_bucket=None: the documented exactness regime)."""
+    from openue_spark.pipeline.linking import link_entities, link_entities_increment
+
+    bases = [f"{w} gadget factory" for w in ("red", "blue", "green", "amber", "mauve")]
+    batch1_mentions = bases + [b + "s" for b in bases] + ["lone wolf holdings"]
+    # batch 2: new variants of existing clusters + a brand-new cluster +
+    # repeats of already-known mentions (must be no-ops)
+    batch2_mentions = (
+        [b + "." for b in bases]
+        + ["quartz mining co", "quartz mining cos"]
+        + bases[:2]
+    )
+    t1 = _mk_triples(spark, batch1_mentions)
+    t2 = _mk_triples(spark, batch2_mentions, start=100)
+
+    m1 = link_entities(t1, max_bucket=None)
+    inc = link_entities_increment(m1, t2, max_bucket=None)
+    full = link_entities(t1.unionByName(t2), max_bucket=None)
+
+    got = {r.mention: r.canonical for r in inc.collect()}
+    want = {r.mention: r.canonical for r in full.collect()}
+    assert got == want
+    # sanity: the increment actually linked new variants into old clusters
+    assert got["red gadget factory."] == got["red gadget factory"]
+    assert got["quartz mining cos"] == "quartz mining co"
+
+
+def test_increment_noop_batch(spark):
+    """A batch with only already-known mentions returns the prior mapping
+    unchanged and an empty rewrite delta."""
+    from openue_spark.pipeline.linking import (
+        link_entities,
+        link_entities_increment,
+        mapping_delta,
+    )
+
+    t1 = _mk_triples(spark, ["acme corp", "acme corps", "zebra ltd"])
+    m1 = link_entities(t1, max_bucket=None)
+    again = link_entities_increment(m1, t1, max_bucket=None)
+    assert {tuple(r) for r in again.collect()} == {tuple(r) for r in m1.collect()}
+    assert mapping_delta(m1, again).count() == 0
+
+
+def test_increment_bridge_merges_prior_components(spark):
+    """A new mention can bridge two previously-separate components; the
+    merged component re-canonicalizes and mapping_delta reports exactly the
+    mentions whose canonical changed (plus the new ones)."""
+    from pyspark.sql import functions as F
+
+    from openue_spark.pipeline.linking import (
+        incremental_canonical_mapping,
+        mapping_delta,
+        mention_table,
+    )
+
+    empty_prior = spark.createDataFrame(
+        [], "mention string, mention_id bigint, canonical_id bigint, canonical string"
+    )
+
+    def mentions_of(names):
+        return mention_table(_mk_triples(spark, names))
+
+    # two clusters with no cross-cluster similarity (cosine disabled so the
+    # bridge geometry is pure-Jaccard and easy to reason about)
+    c1, c2 = ["abcdefgh", "abcdefghx"], ["qrstuvwx", "qrstuvwxy"]
+    # 16 single-row bands: band-match probability ~1-(1-J)^16 (~0.9999 at
+    # the bridge's J=0.43) so the merge exercises CC, not banding luck
+    prior = incremental_canonical_mapping(
+        empty_prior, mentions_of(c1 + c2), min_cosine=None, max_bucket=None,
+        n_hashes=16, n_bands=16,
+    )
+    canon0 = {r.mention: r.canonical for r in prior.collect()}
+    assert canon0["abcdefghx"] == "abcdefgh"
+    assert canon0["qrstuvwxy"] == "qrstuvwx"
+    assert canon0["abcdefgh"] != canon0["qrstuvwx"]
+
+    bridge = "abcdefghqrstuvwx"  # shares 6-of-14 trigrams with each cluster head
+    updated = incremental_canonical_mapping(
+        prior, mentions_of([bridge] * 2 + c1[:1]), min_cosine=None, max_bucket=None,
+        n_hashes=16, n_bands=16,
+    )
+    canon1 = {r.mention: r.canonical for r in updated.collect()}
+    assert len({canon1[m] for m in c1 + c2 + [bridge]}) == 1  # all merged
+    assert canon1["abcdefgh"] == "abcdefgh"  # shortest-then-lex rep
+
+    delta = {
+        (r.mention, r.old_canonical, r.new_canonical)
+        for r in mapping_delta(prior, updated).collect()
+    }
+    # changed: the c2 members re-pointed; new: the bridge itself. c1 members
+    # keep their canonical and must NOT appear.
+    assert ("qrstuvwx", "qrstuvwx", "abcdefgh") in delta
+    assert ("qrstuvwxy", "qrstuvwx", "abcdefgh") in delta
+    assert (bridge, None, "abcdefgh") in delta
+    assert not any(m == "abcdefgh" for m, _, _ in delta)
