@@ -1071,6 +1071,42 @@ def q_link_increment_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapping.select("mention", "canonical")
 
 
+def _kg_positive_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic relational positives for the KG-training ops:
+    supplier/customer -> nation 'based_in' edges (names are unique, so the
+    entity vocabulary is well-defined on both engines)."""
+    nation = _t(spark, sf_dir, "nation")
+    sup = (
+        _t(spark, sf_dir, "supplier")
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("s_name").alias("subj"),
+            F.lit("based_in").alias("pred"),
+            F.col("n_name").alias("obj"),
+        )
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("c_name").alias("subj"),
+            F.lit("based_in").alias("pred"),
+            F.col("n_name").alias("obj"),
+        )
+    )
+    return sup.unionByName(cust)
+
+
+def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered tail-corruption negative sampling for KG-embedding training
+    (ops/kg.py): rendezvous-hash replacement pick, md5-bucketed vocabulary,
+    anti-join filter against true triples — every step md5-based precisely
+    so DuckDB mirrors the sampling bit-for-bit."""
+    from .ops.kg import negative_samples
+
+    return negative_samples(_kg_positive_fixture(spark, sf_dir), k=2)
+
+
 def q_link_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import extract_triples
     from .pipeline.linking import canonical_triples, link_entities
@@ -1126,6 +1162,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_blocking_pairs": q_link_blocking_pairs,
         "link_connected_components": q_link_connected_components,
         "link_increment_components": q_link_increment_components,
+        "kg_negative_samples": q_kg_negative_samples,
         "link_canonical_triples": q_link_canonical_triples,
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "minhash_dedup_keep": q_minhash_dedup_keep,
@@ -1669,6 +1706,34 @@ def oracle_sql() -> dict[str, str]:
         "link_blocking_pairs": _DUCK_LINK_PAIRS,
         "link_connected_components": _DUCK_LINK_CC,
         "link_increment_components": _DUCK_LINK_INC,
+        # mirrors ops/kg.py literally: same md5 bucket prefix, same
+        # corruption key text, same rendezvous arg-min, same filters
+        "kg_negative_samples": (
+            "WITH pos AS ("
+            " SELECT s_name AS subj, 'based_in' AS pred, n_name AS obj"
+            "  FROM supplier JOIN nation ON s_nationkey = n_nationkey"
+            " UNION"
+            " SELECT c_name, 'based_in', n_name"
+            "  FROM customer JOIN nation ON c_nationkey = n_nationkey),"
+            " ents AS (SELECT DISTINCT entity FROM"
+            "  (SELECT subj AS entity FROM pos UNION SELECT obj FROM pos)"
+            "  WHERE length(entity) > 0),"
+            " vocab AS (SELECT entity, substr(md5(entity), 1, 2) AS bucket"
+            "  FROM ents),"
+            " cand AS (SELECT subj, pred, obj, i AS neg_idx,"
+            "  md5(subj || '|' || pred || '|' || obj || '|' ||"
+            "   cast(i AS VARCHAR)) AS ckey"
+            "  FROM pos, (SELECT 1 AS i UNION ALL SELECT 2) ks),"
+            " picked AS (SELECT subj, pred, obj, neg_idx,"
+            "  arg_min(entity, md5(entity || '@' || ckey)) AS neg_obj"
+            "  FROM (SELECT c.*, substr(ckey, 1, 2) AS bucket FROM cand c)"
+            "  JOIN vocab USING (bucket)"
+            "  GROUP BY subj, pred, obj, neg_idx, ckey)"
+            " SELECT p.subj, p.pred, p.obj, p.neg_idx, p.neg_obj"
+            " FROM picked p WHERE p.neg_obj <> p.obj"
+            " AND NOT EXISTS (SELECT 1 FROM pos t WHERE t.subj = p.subj"
+            "  AND t.pred = p.pred AND t.obj = p.neg_obj)"
+        ),
         "window_topk_orders": (
             "SELECT o_custkey, o_orderkey, rnk,"
             " round(cast(o_totalprice AS decimal(18,2)), 2)::DOUBLE AS price FROM ("

@@ -1,0 +1,114 @@
+"""KG-embedding training-data ops over the triple table.
+
+The reference stops at emitting triples; a production KG pipeline feeds
+them onward into embedding training (TransE-style), which needs NEGATIVE
+samples: per positive (s, p, o), k corrupted triples (s, p, o') with o'
+drawn uniformly from the entity vocabulary, excluding corruptions that are
+themselves true triples ("filtered" sampling — scoring a true triple as a
+negative poisons the loss).
+
+Scale design — no dense entity ids, no driver-side vocabulary:
+
+- The classic formulation samples o' by random index into an entity array,
+  which needs either a dense-id table (global row_number = single-partition
+  sort) or a driver-collected vocab (doesn't fit). Instead entities are
+  hashed into B string-keyed buckets (md5 prefix — uniform by
+  construction), each corruption deterministically targets bucket
+  md5(s|p|o|i), and WITHIN the bucket the replacement is chosen by
+  rendezvous hashing: the entity minimizing md5(entity @ corruption-key).
+  One equi-join on uniform bucket keys + one arg-min aggregate — no skew
+  surface, no global sort, fully deterministic (resume/backfill emits
+  byte-identical samples).
+- Per-corruption uniformity: bucket choice is uniform over B, rendezvous
+  pick is uniform within the bucket, so entity selection is uniform up to
+  bucket-size variation (multinomial; negligible for |E| >> B).
+- "Filtered": corruptions colliding with a TRUE triple are dropped by an
+  anti-join against the positive set (left_anti on (subj, pred, obj) —
+  the standard Bordes-et-al. protocol), as are no-op corruptions o' = o.
+  A corruption landing in an empty bucket emits nothing (at |E| >> B every
+  bucket is populated; the contract oracle mirrors the same drop).
+
+Everything is md5-based specifically so a DuckDB oracle can mirror the
+sampling bit-for-bit (xxhash64 exists only on the Spark side).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+BUCKET_HEX = 2  # default md5-prefix bucket key width: 16^2 = 256 buckets
+
+
+def entity_vocab(triples: DataFrame, bucket_hex: int = BUCKET_HEX) -> DataFrame:
+    """(entity, bucket): distinct subj/obj surface forms, bucketed by md5
+    prefix (string-keyed — uniform, engine-portable). `bucket_hex` sets the
+    prefix width: 16^bucket_hex buckets. Size it well below |E| (empty
+    buckets silently drop corruptions); 2 suits |E| >= ~10k, 1 suits tiny
+    vocabularies."""
+    ents = (
+        triples.select(F.col("subj").alias("entity"))
+        .unionByName(triples.select(F.col("obj").alias("entity")))
+        .where(F.length("entity") > 0)
+        .distinct()
+    )
+    return ents.withColumn(
+        "bucket", F.substring(F.md5("entity"), 1, bucket_hex)
+    )
+
+
+def negative_samples(
+    triples: DataFrame,
+    k: int = 2,
+    entities: DataFrame | None = None,
+    bucket_hex: int = BUCKET_HEX,
+) -> DataFrame:
+    """k filtered tail-corruption negatives per distinct positive triple.
+
+    Returns (subj, pred, obj, neg_idx, neg_obj): the positive triple, the
+    corruption index 1..k, and the sampled replacement tail. Fewer than k
+    rows come back for a positive when a corruption is filtered (true
+    triple, o' = o, or empty bucket).
+
+    `entities` overrides the corpus-derived vocabulary (e.g. a persisted
+    entity dim covering the full KG when sampling for one partition).
+    """
+    pos = triples.select("subj", "pred", "obj").distinct()
+    vocab = (
+        entities if entities is not None else entity_vocab(triples, bucket_hex)
+    )
+    # one row per (positive, corruption index), each targeting its bucket
+    cand = pos.select(
+        "subj",
+        "pred",
+        "obj",
+        F.explode(F.sequence(F.lit(1), F.lit(k))).alias("neg_idx"),
+    ).withColumn(
+        "ckey", F.md5(F.concat_ws("|", "subj", "pred", "obj", "neg_idx"))
+    ).withColumn("bucket", F.substring("ckey", 1, bucket_hex))
+    # rendezvous pick: the bucket member minimizing md5(entity @ ckey).
+    # The join key (bucket) is uniform by construction; the per-group
+    # arg-min is a partial-aggregatable min(struct) — one shuffle total.
+    picked = (
+        cand.join(vocab, "bucket")
+        .groupBy("subj", "pred", "obj", "neg_idx")
+        .agg(
+            F.min(
+                F.struct(
+                    F.md5(F.concat_ws("@", "entity", "ckey")).alias("rv"),
+                    F.col("entity").alias("entity"),
+                )
+            ).alias("pick")
+        )
+        .select(
+            "subj", "pred", "obj", "neg_idx", F.col("pick.entity").alias("neg_obj")
+        )
+        .where(F.col("neg_obj") != F.col("obj"))
+    )
+    # filtered protocol: a corruption that IS a true triple is dropped
+    truth = pos.select(
+        F.col("subj"), F.col("pred"), F.col("obj").alias("neg_obj")
+    )
+    return picked.join(truth, ["subj", "pred", "neg_obj"], "left_anti").select(
+        "subj", "pred", "obj", "neg_idx", "neg_obj"
+    )

@@ -325,3 +325,51 @@ def test_embedding_dedup_keep_greedy_chain(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
     keep = {r.vec_id for r in embedding_dedup_keep(df, min_cosine=0.95, dim=64).collect()}
     assert keep == {0, 3}
+
+
+# --- KG-embedding training data: filtered negative sampling (ops/kg.py) ---
+
+
+@pytest.fixture(scope="module")
+def kg_pos(spark):
+    # small closed world: 6 heads, 3 tails, one relation; plus a second
+    # relation so the filter is per-(subj, pred)
+    rows = [(f"head {i}", "likes", f"tail {i % 3}") for i in range(6)]
+    rows += [("head 0", "hates", "tail 1")]
+    return spark.createDataFrame(rows, "subj string, pred string, obj string")
+
+
+def test_negative_samples_filtered_and_deterministic(spark, kg_pos):
+    from openue_spark.ops.kg import entity_vocab, negative_samples
+
+    # 16 buckets (bucket_hex=1): the 9-entity vocabulary populates most
+    # buckets, so corruptions actually land (256 empty buckets would
+    # silently drop every sample at this vocab size — the documented dial)
+    out1 = negative_samples(kg_pos, k=3, bucket_hex=1).collect()
+    out2 = negative_samples(kg_pos, k=3, bucket_hex=1).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))  # deterministic
+
+    pos = {(r.subj, r.pred, r.obj) for r in kg_pos.collect()}
+    vocab = {r.entity for r in entity_vocab(kg_pos).collect()}
+    per_pos = {}
+    for r in out1:
+        assert (r.subj, r.pred, r.obj) in pos          # anchored to a positive
+        assert r.neg_obj in vocab and r.neg_obj != r.obj
+        assert (r.subj, r.pred, r.neg_obj) not in pos  # filtered protocol
+        per_pos.setdefault((r.subj, r.pred, r.obj), set()).add(r.neg_idx)
+    # at most k corruptions per positive, and sampling isn't degenerate
+    assert all(len(v) <= 3 for v in per_pos.values())
+    assert len(out1) > 0
+
+
+def test_negative_samples_external_vocab(spark, kg_pos):
+    """A persisted entity dim can widen the replacement pool beyond the
+    batch's own mentions (the partition-sampling use case)."""
+    from openue_spark.ops.kg import negative_samples
+
+    extra = spark.createDataFrame(
+        [(f"outside {i}",) for i in range(40)], "entity string"
+    ).selectExpr("entity", "substring(md5(entity), 1, 1) AS bucket")
+    out = negative_samples(kg_pos, k=4, entities=extra, bucket_hex=1).collect()
+    assert len(out) > 0
+    assert all(r.neg_obj.startswith("outside") for r in out)
