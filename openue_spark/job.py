@@ -160,7 +160,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
         from pyspark.sql import functions as F
 
-        from openue_spark.pipeline.linking import link_entities_increment, mapping_delta
+        from openue_spark.pipeline.linking import (
+            link_entities_increment,
+            mapping_delta,
+            mention_state,
+        )
         from openue_spark.pipeline.materialize import (
             dedup_triples_salted,
             write_graph_table,
@@ -174,7 +178,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
                 )
         t1 = time.time()
         prior = spark.read.parquet(f"{args.out}/mapping")
-        updated = link_entities_increment(prior, raw, max_bucket=max_bucket)
+        # the persisted per-mention feature table makes the fold Θ(batch);
+        # absent (pre-state KG), the operator recomputes features from the
+        # mention strings (bit-identical, one extra linear pass) and the
+        # state is backfilled below
+        state_path = f"{args.out}/link_state"
+        prior_state = (
+            spark.read.parquet(state_path) if os.path.isdir(state_path) else None
+        )
+        updated = link_entities_increment(
+            prior, raw, max_bucket=max_bucket, prior_state=prior_state
+        )
         # delta = the only mentions whose canonical changed; checkpointed —
         # it feeds two joins and a driver count
         delta = mapping_delta(prior, updated).localCheckpoint(eager=True)
@@ -222,8 +236,22 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             # catalog pointer instead of overwrite-in-place)
             .localCheckpoint(eager=True)
         )
-        updated.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            f"{args.out}/mapping"
+        updated = updated.localCheckpoint(eager=True)
+        updated.write.mode("overwrite").parquet(f"{args.out}/mapping")
+        # append features for mentions the state doesn't cover yet (the
+        # fresh batch; or the whole corpus once, if this KG predates the
+        # state table)
+        universe = updated.select("mention", "mention_id")
+        missing = (
+            universe.join(prior_state.select("mention_id"), "mention_id", "left_anti")
+            if prior_state is not None
+            else universe
+        )
+        state_out = mention_state(missing)
+        if prior_state is not None:
+            state_out = prior_state.unionByName(state_out)
+        state_out.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            state_path
         )
         write_graph_table(merged, f"{args.out}/graph")
         n_graph = spark.read.parquet(f"{args.out}/graph").count()
@@ -237,11 +265,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         return 0
 
     if not args.no_link:
+        from openue_spark.pipeline.linking import mention_state, mention_table
+
         t1 = time.time()
         mapping = link_entities(raw, max_bucket=max_bucket)
-        # persist the mapping: it IS the linking state an --increment run
-        # folds new batches into
+        # persist the mapping + per-mention feature state: together they
+        # ARE the linking state an --increment run folds new batches into
+        # (state makes the fold Θ(batch) instead of Θ(corpus))
         mapping.write.mode("overwrite").parquet(f"{args.out}/mapping")
+        mention_state(mention_table(raw)).write.mode("overwrite").parquet(
+            f"{args.out}/link_state"
+        )
         final = canonical_triples(raw, mapping)
         print(f"[job] linking complete ({time.time() - t1:.1f}s)")
     else:

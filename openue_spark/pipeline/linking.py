@@ -142,36 +142,73 @@ def _shingled_mentions(mentions: DataFrame) -> DataFrame:
     return out if out.isStreaming else out.localCheckpoint(eager=False)
 
 
+def _sig_cols(n_hashes: int) -> list:
+    """Per-hash minhash columns over a `shingles` column (the one md5
+    scheme every blocker and the stored state share)."""
+    return [
+        F.expr(f"array_min(transform(shingles, s -> md5(concat(s, '#{i}'))))").alias(f"sig{i}")
+        for i in range(n_hashes)
+    ]
+
+
+def _band_hash_exprs(n_hashes: int, n_bands: int) -> list:
+    """Band-hash columns (one per band) over the sig{i} columns."""
+    rows_per_band = n_hashes // n_bands
+    return [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+        )
+        for b in range(n_bands)
+    ]
+
+
 def _banded_signatures(shingled: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
     """(mention_id, band_id, band_hash): minhash sigs folded into band
     hashes and exploded one row per band (shared blocking construction)."""
-    rows_per_band = n_hashes // n_bands
-    sigs = shingled.select(
-        "mention_id",
-        *[
-            F.expr(f"array_min(transform(shingles, s -> md5(concat(s, '#{i}'))))").alias(f"sig{i}")
-            for i in range(n_hashes)
-        ],
-    )
+    sigs = shingled.select("mention_id", *_sig_cols(n_hashes))
+    bands = _band_hash_exprs(n_hashes, n_bands)
     return sigs.select(
         "mention_id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band_id"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)],
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(n_bands)
+                    F.struct(F.lit(b).alias("band_id"), bh.alias("band_hash"))
+                    for b, bh in enumerate(bands)
                 ]
             )
         ).alias("bh"),
     ).select("mention_id", "bh.band_id", "bh.band_hash")
+
+
+def mention_state(mentions: DataFrame, n_hashes: int = 16, n_bands: int = 8) -> DataFrame:
+    """Persistable per-mention linking features — the stored state that
+    makes incremental folds sublinear in corpus size:
+
+      (mention, mention_id, band_hashes array<string>,
+       sh array<bigint>, n_sh, embedding array<double>)
+
+    band_hashes[b] is EXACTLY _banded_signatures' band_hash for band b
+    (shared column builders — pinned by test), sh/n_sh mirror
+    _hashed_shingles, embedding mirrors embed_mentions. INVARIANT: a
+    stored state table accompanies a mapping covering the same mention
+    set, built with the same (n_hashes, n_bands). Every feature is a pure
+    function of the mention string, so state never goes stale — an
+    increment only APPENDS rows for fresh mentions.
+    """
+    shingled = _shingled_mentions(mentions)
+    sigs = shingled.select("mention_id", "shingles", *_sig_cols(n_hashes))
+    feat = sigs.select(
+        "mention_id",
+        F.array(*_band_hash_exprs(n_hashes, n_bands)).alias("band_hashes"),
+        F.expr("transform(shingles, s -> xxhash64(s))").alias("sh"),
+        F.size("shingles").alias("n_sh"),
+    )
+    return embed_mentions(mentions).join(feat, "mention_id").select(
+        "mention", "mention_id", "band_hashes", "sh", "n_sh", "embedding"
+    )
 
 
 def _hashed_shingles(shingled: DataFrame) -> DataFrame:
@@ -225,7 +262,7 @@ def candidate_pairs_banded(
         .select("a_id", "b_id")
     )
     return (
-        _jaccard_verify(cand, shingled, jaccard_distance)
+        _jaccard_verify(cand, _hashed_shingles(shingled), jaccard_distance)
         .select("a_id", "b_id", "jaccard_dist")
         .dropDuplicates(["a_id", "b_id"])
     )
@@ -233,13 +270,15 @@ def candidate_pairs_banded(
 
 def _jaccard_verify(
     cand: DataFrame,
-    shingled: DataFrame,
+    hashed: DataFrame,
     jaccard_distance: float,
     broadcast_sides: bool = False,
 ) -> DataFrame:
     """Exact-Jaccard verify of an (a_id, b_id) candidate stream — the one
     shared tail of every blocker (banded, fused, incremental), so the
-    arithmetic the DuckDB link oracles mirror can never fork.
+    arithmetic the DuckDB link oracles mirror can never fork. `hashed` is
+    a (mention_id, sh, n_sh) table (from _hashed_shingles or the stored
+    mention_state).
 
     Shuffle-lean (the candidate set dwarfs the mention set — 3.4M pairs
     from 36k mentions at the 100k-turn profile — so verify cost dominates
@@ -256,7 +295,6 @@ def _jaccard_verify(
     Keeps every input column of `cand`, adds `jaccard_dist`; duplicate
     candidate pairs ride through (dedup AFTER verify — the round-1 lesson).
     """
-    hashed = _hashed_shingles(shingled)
     min_j = 1.0 - jaccard_distance
     sa = hashed.select(
         F.col("mention_id").alias("a_id"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
@@ -368,7 +406,9 @@ def candidate_edges(
     # broadcast/shuffle rationale)
     close = _cosine_filter(cand, embedded, min_cosine)
     return (
-        _jaccard_verify(close, shingled, jaccard_distance, broadcast_sides=True)
+        _jaccard_verify(
+            close, _hashed_shingles(shingled), jaccard_distance, broadcast_sides=True
+        )
         .select("a_id", "b_id", "jaccard_dist", "cosine")
         .dropDuplicates(["a_id", "b_id"])
     )
@@ -600,6 +640,7 @@ def incremental_canonical_mapping(
     max_bucket: int | None = 256,
     max_iterations: int = 50,
     strict: bool = False,
+    prior_state: DataFrame | None = None,
 ) -> DataFrame:
     """Fold `new_mentions` into `prior_mapping`, returning the full updated
     mapping (mention, mention_id, canonical_id, canonical) over old ∪ new.
@@ -620,12 +661,15 @@ def incremental_canonical_mapping(
     never forgets a verified edge, so its components are a refinement-free
     superset of the capped recompute's (the behavior you actually want).
 
-    Cost: linear narrow work over old mentions (signatures; at production
-    scale these would be read back from a stored signature table instead of
-    recomputed — they are a deterministic function of the mention string),
-    one bucket join restricted to fresh-incident pairs, and CC over touched
-    components only. Untouched components (the vast majority of a mature
-    KG) ride through verbatim with zero shuffle.
+    Cost: with `prior_state` (the persisted mention_state table — the
+    production shape) the increment touches only fresh mentions plus the
+    bucket-local and component-local old rows they collide with: fresh
+    features are computed, old features are READ, and nothing scans the
+    full corpus. Without prior_state every feature is recomputed from the
+    mention strings (bit-identical — they are pure functions), which adds
+    one linear full-corpus pass; correct, but Θ(corpus) per fold.
+    Untouched components (the vast majority of a mature KG) ride through
+    verbatim with zero shuffle either way.
     """
     fresh = (
         new_mentions.select("mention", "mention_id")
@@ -637,10 +681,34 @@ def incremental_canonical_mapping(
     old_mentions = prior_mapping.select("mention", "mention_id")
     all_mentions = old_mentions.unionByName(fresh).persist()
     try:
-        shingled = _shingled_mentions(all_mentions)
-        banded = _cap_hot_buckets(
-            _banded_signatures(shingled, n_hashes, n_bands), max_bucket
-        )
+        if prior_state is not None:
+            # stored-state path: fresh features computed, old features read.
+            # The union is the increment's WHOLE feature cost — Θ(batch).
+            state_all = prior_state.select(
+                "mention_id", "band_hashes", "sh", "n_sh", "embedding"
+            ).unionByName(
+                mention_state(fresh, n_hashes, n_bands).select(
+                    "mention_id", "band_hashes", "sh", "n_sh", "embedding"
+                )
+            ).localCheckpoint(eager=False)
+            banded_src = state_all.select(
+                "mention_id",
+                F.posexplode("band_hashes").alias("band_id", "band_hash"),
+            )
+            hashed_all = state_all.select("mention_id", "sh", "n_sh")
+            emb_all = state_all.select("mention_id", "embedding")
+        else:
+            # recompute path: one linear full-corpus signature pass (17 s
+            # for 62k+10k mentions on the 200k-turn profile — measured
+            # ~45%% of the whole fold; pass prior_state to drop it).
+            shingled = _shingled_mentions(all_mentions)
+            banded_src = _banded_signatures(shingled, n_hashes, n_bands)
+            hashed_all = _hashed_shingles(shingled)
+            emb_all = None  # embedded lazily, restricted to incident ids
+        # Materialized once — banded feeds both sides of the bucket join,
+        # and re-evaluating 16 md5 minhashes + the cap window per consumer
+        # was measured at ~3x the whole stage's cost.
+        banded = banded_src.localCheckpoint(eager=False)
         # Candidate pairs incident to >=1 fresh mention: fresh signatures on
         # one side, ALL signatures on the other. Orientation is normalized
         # AFTER the join (least/greatest) so a fresh-fresh pair seen in both
@@ -649,10 +717,31 @@ def incremental_canonical_mapping(
         fresh_banded = banded.join(
             fresh.select("mention_id"), "mention_id", "left_semi"
         )
-        x = fresh_banded.select(
+        if max_bucket is not None:
+            # Fresh-incident hot-bucket cap: _cap_hot_buckets' window would
+            # shuffle EVERY band row — a Θ(corpus) exchange hiding in a
+            # Θ(batch) fold. Only buckets containing a fresh mention can
+            # produce pairs, so the count (over each such bucket's FULL
+            # membership — the semi-join keeps all members, sizes stay
+            # exact) and the cap run on that subset alone.
+            fresh_buckets = fresh_banded.select("band_id", "band_hash").distinct()
+            relevant = banded.join(
+                fresh_buckets, ["band_id", "band_hash"], "left_semi"
+            ).localCheckpoint(eager=False)  # counted AND joined below
+            ok_buckets = (
+                relevant.groupBy("band_id", "band_hash")
+                .agg(F.count(F.lit(1)).alias("bsz"))
+                .where(F.col("bsz") <= max_bucket)
+                .select("band_id", "band_hash")
+            )
+            x_src = fresh_banded.join(ok_buckets, ["band_id", "band_hash"], "left_semi")
+            y_src = relevant.join(ok_buckets, ["band_id", "band_hash"], "left_semi")
+        else:
+            x_src, y_src = fresh_banded, banded
+        x = x_src.select(
             F.col("mention_id").alias("x_id"), "band_id", "band_hash"
         )
-        y = banded.select(F.col("mention_id").alias("y_id"), "band_id", "band_hash")
+        y = y_src.select(F.col("mention_id").alias("y_id"), "band_id", "band_hash")
         cand = (
             x.join(y, ["band_id", "band_hash"])
             .where(F.col("x_id") != F.col("y_id"))
@@ -660,14 +749,30 @@ def incremental_canonical_mapping(
                 F.least("x_id", "y_id").alias("a_id"),
                 F.greatest("x_id", "y_id").alias("b_id"),
             )
+        ).localCheckpoint(eager=False)  # feeds the incident-id semi-joins + filters
+        # Only candidate-INCIDENT mentions need embeddings and verify-side
+        # shingle tables — never the whole corpus (the broadcast sides are
+        # built per filter, so restricting them is what keeps the increment
+        # sublinear past the feature source).
+        incident = (
+            cand.select(F.col("a_id").alias("mention_id"))
+            .unionByName(cand.select(F.col("b_id").alias("mention_id")))
+            .distinct()
         )
+        inc_hashed = hashed_all.join(incident, "mention_id", "left_semi")
         if min_cosine is not None:
-            # at scale the old side's embeddings come from the stored
-            # embedding table; the mock embedding is a pure function of the
-            # mention string, so recomputing here is bit-identical
-            cand = _cosine_filter(cand, embed_mentions(all_mentions), min_cosine)
+            if emb_all is None:
+                # recompute path: the mock embedding is a pure function of
+                # the mention string, so recomputing is bit-identical to a
+                # stored embedding table
+                inc_emb = embed_mentions(
+                    all_mentions.join(incident, "mention_id", "left_semi")
+                ).localCheckpoint(eager=False)  # broadcast twice (a/b sides)
+            else:
+                inc_emb = emb_all.join(incident, "mention_id", "left_semi")
+            cand = _cosine_filter(cand, inc_emb, min_cosine)
         edges = (
-            _jaccard_verify(cand, shingled, jaccard_distance, broadcast_sides=True)
+            _jaccard_verify(cand, inc_hashed, jaccard_distance, broadcast_sides=True)
             .select("a_id", "b_id")
             .dropDuplicates(["a_id", "b_id"])
         )

@@ -312,3 +312,116 @@ def test_increment_bridge_merges_prior_components(spark):
     assert ("qrstuvwxy", "qrstuvwx", "abcdefgh") in delta
     assert (bridge, None, "abcdefgh") in delta
     assert not any(m == "abcdefgh" for m, _, _ in delta)
+
+
+def test_mention_state_matches_recomputed_features(spark, triples_df):
+    """The persisted state's band_hashes/sh/n_sh must be bit-identical to
+    the blocker's recomputed signatures — the invariant that makes the
+    state-fed increment equal the recompute-fed one."""
+    from pyspark.sql import functions as F
+
+    from openue_spark.pipeline.linking import (
+        _banded_signatures,
+        _hashed_shingles,
+        _shingled_mentions,
+        mention_state,
+        mention_table,
+    )
+
+    mentions = mention_table(triples_df)
+    state = mention_state(mentions)
+    from_state = {
+        (r.mention_id, r.band_id, r.band_hash)
+        for r in state.select(
+            "mention_id", F.posexplode("band_hashes").alias("band_id", "band_hash")
+        ).collect()
+    }
+    recomputed = {
+        (r.mention_id, r.band_id, r.band_hash)
+        for r in _banded_signatures(_shingled_mentions(mentions), 16, 8).collect()
+    }
+    assert from_state == recomputed
+    sh_state = {(r.mention_id, tuple(r.sh), r.n_sh) for r in state.collect()}
+    sh_re = {
+        (r.mention_id, tuple(r.sh), r.n_sh)
+        for r in _hashed_shingles(_shingled_mentions(mentions)).collect()
+    }
+    assert sh_state == sh_re
+
+
+def test_increment_with_stored_state_equals_recompute(spark):
+    """Feeding the persisted mention_state must not change the fold result
+    (features are pure functions of the mention string)."""
+    from openue_spark.pipeline.linking import (
+        link_entities,
+        link_entities_increment,
+        mention_state,
+        mention_table,
+    )
+
+    bases = [f"{w} widget works" for w in ("cyan", "teal", "plum")]
+    t1 = _mk_triples(spark, bases + [b + "s" for b in bases])
+    t2 = _mk_triples(spark, [b + "." for b in bases] + ["new thing co"], start=50)
+    m1 = link_entities(t1, max_bucket=None)
+    state1 = mention_state(mention_table(t1))
+    with_state = {
+        tuple(r)
+        for r in link_entities_increment(
+            m1, t2, max_bucket=None, prior_state=state1
+        ).collect()
+    }
+    without = {
+        tuple(r)
+        for r in link_entities_increment(m1, t2, max_bucket=None).collect()
+    }
+    full = {
+        tuple(r)
+        for r in link_entities(t1.unionByName(t2), max_bucket=None).collect()
+    }
+    assert with_state == without == full
+
+
+def test_increment_fresh_incident_cap(spark):
+    """The fold's fresh-incident hot-bucket cap: with a generous cap (no
+    bucket exceeds it) the result equals the uncapped fold; with cap=1
+    every shared bucket is dropped, so no new edges form and every fresh
+    mention stays a singleton."""
+    from openue_spark.pipeline.linking import (
+        incremental_canonical_mapping,
+        mention_table,
+    )
+
+    empty_prior = spark.createDataFrame(
+        [], "mention string, mention_id bigint, canonical_id bigint, canonical string"
+    )
+    base = ["grape press works", "grape press workss"]
+    prior = incremental_canonical_mapping(
+        empty_prior, mention_table(_mk_triples(spark, base)),
+        min_cosine=None, max_bucket=None,
+    )
+    batch = mention_table(_mk_triples(spark, ["grape press works."], start=9))
+    uncapped = {
+        (r.mention, r.canonical)
+        for r in incremental_canonical_mapping(
+            prior, batch, min_cosine=None, max_bucket=None
+        ).collect()
+    }
+    generous = {
+        (r.mention, r.canonical)
+        for r in incremental_canonical_mapping(
+            prior, batch, min_cosine=None, max_bucket=256
+        ).collect()
+    }
+    assert generous == uncapped
+    assert ("grape press works.", "grape press works") in uncapped
+    capped1 = {
+        (r.mention, r.canonical)
+        for r in incremental_canonical_mapping(
+            prior, batch, min_cosine=None, max_bucket=1
+        ).collect()
+    }
+    assert ("grape press works.", "grape press works.") in capped1  # singleton
+    # prior components are untouched by a cap that blocks all new pairs
+    assert {(m, c) for m, c in capped1 if m != "grape press works."} == {
+        (m, c) for m, c in prior.select("mention", "canonical").collect()
+    }
