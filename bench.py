@@ -112,6 +112,9 @@ def main() -> int:
     timed("p4_gold_alignment", lambda: contract.q_p4_gold_alignment(spark, sf_dir).count())
     timed("embedding_near_dup_bucketed", lambda: contract.q_embedding_near_dup_bucketed(spark, sf_dir).count())
 
+    # KG-training negative sampling over supplier/customer/nation at this sf
+    timed("kg_negative_samples", lambda: contract.q_kg_negative_samples(spark, sf_dir).count())
+
     # temporal + streaming operators over the events table at this sf
     timed("asof_last_error", lambda: contract.q_asof_last_error(spark, sf_dir).count())
     timed("range_pair_stats", lambda: contract.q_range_pair_stats(spark, sf_dir).count())

@@ -156,109 +156,22 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     print(f"[job] extraction complete: {n_raw} raw triples ({time.time() - t0:.1f}s)")
 
     if args.increment:
-        import os
+        from openue_spark.pipeline.incremental import fold_batch_into_kg, kg_exists
 
-        from pyspark.sql import functions as F
-
-        from openue_spark.pipeline.linking import (
-            link_entities_increment,
-            mapping_delta,
-            mention_state,
-        )
-        from openue_spark.pipeline.materialize import (
-            dedup_triples_salted,
-            write_graph_table,
-        )
-
-        for sub in ("mapping", "graph"):
-            if not os.path.isdir(f"{args.out}/{sub}"):
-                raise SystemExit(
-                    f"--increment needs an existing linked KG at {args.out}"
-                    f" (missing {sub}/); run a full job there first"
-                )
+        if not kg_exists(args.out):
+            raise SystemExit(
+                f"--increment needs an existing linked KG at {args.out}"
+                " (missing mapping/ or graph/); run a full job there first"
+            )
         t1 = time.time()
-        prior = spark.read.parquet(f"{args.out}/mapping")
-        # the persisted per-mention feature table makes the fold Θ(batch);
-        # absent (pre-state KG), the operator recomputes features from the
-        # mention strings (bit-identical, one extra linear pass) and the
-        # state is backfilled below
-        state_path = f"{args.out}/link_state"
-        prior_state = (
-            spark.read.parquet(state_path) if os.path.isdir(state_path) else None
+        stats = fold_batch_into_kg(
+            raw, args.out, salt_buckets=args.salt_buckets, max_bucket=max_bucket
         )
-        updated = link_entities_increment(
-            prior, raw, max_bucket=max_bucket, prior_state=prior_state
-        )
-        # delta = the only mentions whose canonical changed; checkpointed —
-        # it feeds two joins and a driver count
-        delta = mapping_delta(prior, updated).localCheckpoint(eager=True)
-        n_changed = delta.count()
         print(
-            f"[job] incremental linking: {n_changed} mentions re-canonicalized "
-            f"({time.time() - t1:.1f}s)"
-        )
-        t2 = time.time()
-        new_agg = dedup_triples_salted(
-            canonical_triples(raw, updated), args.salt_buckets
-        )
-        old_graph = spark.read.parquet(f"{args.out}/graph")
-        subj_d = delta.select(
-            F.col("mention").alias("subj"), F.col("new_canonical").alias("subj_new")
-        )
-        obj_d = delta.select(
-            F.col("mention").alias("obj"), F.col("new_canonical").alias("obj_new")
-        )
-        # re-point ONLY rows whose subj/obj canonical changed (left joins
-        # against the small delta — AQE broadcasts it); merged aggregates
-        # re-combine where a merge collapsed two canonical triples into one
-        repointed = (
-            old_graph.join(subj_d, "subj", "left")
-            .join(obj_d, "obj", "left")
-            .select(
-                F.coalesce("subj_new", "subj").alias("subj"),
-                "pred",
-                F.coalesce("obj_new", "obj").alias("obj"),
-                "support",
-                "first_conv",
-            )
-        )
-        merged = (
-            repointed.unionByName(
-                new_agg.select("subj", "pred", "obj", "support", "first_conv")
-            )
-            .groupBy("subj", "pred", "obj")
-            .agg(
-                F.sum("support").alias("support"),
-                F.min("first_conv").alias("first_conv"),
-            )
-            # materialize BEFORE overwriting the graph dir the plan reads
-            # from (at production scale: write graph_v{n+1} and swap a
-            # catalog pointer instead of overwrite-in-place)
-            .localCheckpoint(eager=True)
-        )
-        updated = updated.localCheckpoint(eager=True)
-        updated.write.mode("overwrite").parquet(f"{args.out}/mapping")
-        # append features for mentions the state doesn't cover yet (the
-        # fresh batch; or the whole corpus once, if this KG predates the
-        # state table)
-        universe = updated.select("mention", "mention_id")
-        missing = (
-            universe.join(prior_state.select("mention_id"), "mention_id", "left_anti")
-            if prior_state is not None
-            else universe
-        )
-        state_out = mention_state(missing)
-        if prior_state is not None:
-            state_out = prior_state.unionByName(state_out)
-        state_out.localCheckpoint(eager=True).write.mode("overwrite").parquet(
-            state_path
-        )
-        write_graph_table(merged, f"{args.out}/graph")
-        n_graph = spark.read.parquet(f"{args.out}/graph").count()
-        print(
-            f"[job] graph refreshed: {n_graph} canonical triples after folding "
-            f"{n_raw} new raw triples ({time.time() - t2:.1f}s); "
-            f"total {time.time() - t0:.1f}s"
+            f"[job] incremental fold: {stats['n_changed']} mentions "
+            f"re-canonicalized; graph refreshed to {stats['n_graph']} canonical "
+            f"triples after folding {stats['n_raw']} new raw triples "
+            f"({time.time() - t1:.1f}s); total {time.time() - t0:.1f}s"
         )
         if owns_session:
             spark.stop()

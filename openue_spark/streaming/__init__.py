@@ -65,6 +65,63 @@ def stream_triple_sink(
     return writer.start()
 
 
+def stream_fold_sink(
+    turns: DataFrame,
+    kg_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    salt_buckets: int = 16,
+    max_bucket: int | None = 256,
+):
+    """Continuous KG maintenance: extract each micro-batch of transcript
+    turns and FOLD it into the persisted KG at ``kg_dir`` (mapping/ +
+    link_state/ + graph/, built by a prior full `job.py` run) via the same
+    incremental merge as `job.py --increment`
+    (pipeline.incremental.fold_batch_into_kg — Θ(batch), PLANS.md §13).
+
+    Exactly-once: the fold mutates external tables, so Spark's offset
+    checkpoint alone cannot make replays safe (a restarted query re-runs
+    its last uncommitted micro-batch, and re-folding double-counts
+    support). Each folded epoch therefore appends its batch id to
+    ``{kg_dir}/fold_manifest`` FIRST; a replayed epoch sees its id and
+    skips — the standard idempotent-foreachBatch protocol. Written before
+    the fold (not after) so a crash mid-fold fails TOWARD skipping a
+    half-applied batch rather than applying it twice; recovering a batch
+    that manifested but crashed pre-merge is a manual replay (drop its
+    manifest row), the same trade a catalog-pointer swap makes.
+    """
+    from ..pipeline.incremental import fold_batch_into_kg
+
+    manifest = f"{kg_dir}/fold_manifest"
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        import os
+
+        if batch_df.limit(1).count() == 0:
+            return  # empty epoch: no manifest row, no table rewrite
+        if os.path.isdir(manifest):
+            seen = spark.read.parquet(manifest).where(
+                F.col("batch_id") == batch_id
+            )
+            if seen.limit(1).count() > 0:
+                return  # replayed epoch — already folded
+        spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
+            "append"
+        ).parquet(manifest)
+        raw = extract_triples(batch_df)
+        fold_batch_into_kg(
+            raw, kg_dir, salt_buckets=salt_buckets, max_bucket=max_bucket
+        )
+
+    writer = turns.writeStream.foreachBatch(fold).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 _DEDUP_OUT_SCHEMA = T.StructType(
     [
         T.StructField("subj", T.StringType()),

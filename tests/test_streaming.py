@@ -192,3 +192,48 @@ def test_streaming_windowed_rates_equal_batch(spark, tmp_path):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_fold_sink_continuous_kg_maintenance(spark, tmp_path):
+    """Micro-batches folded into a persisted KG must reproduce the graph a
+    single full batch run builds over the union corpus, and replayed
+    epochs (same batch ids, fresh checkpoint) must fold nothing twice."""
+    from openue_spark.job import main
+    from openue_spark.streaming import read_turn_stream, stream_fold_sink
+
+    kg = str(tmp_path / "kg")
+    base = ["--shards", "2", "--max-bucket", "none"]
+    assert main(["--synthesize", "2000", "--out", kg] + base, spark=spark) == 0
+
+    stream_src = str(tmp_path / "batch_turns")
+    transcripts_spark(spark, 800, partitions=3, offset=2000).write.parquet(stream_src)
+
+    def run_fold(ckpt):
+        q = stream_fold_sink(
+            read_turn_stream(spark, stream_src, max_files_per_trigger=1),
+            kg,
+            str(tmp_path / ckpt),
+            available_now=True,
+            max_bucket=None,
+        )
+        q.awaitTermination(300)
+
+    run_fold("ck1")
+
+    def graph_rows(out):
+        return {
+            tuple(r)
+            for r in spark.read.parquet(f"{out}/graph")
+            .select("subj", "pred", "obj", "support", "first_conv")
+            .collect()
+        }
+
+    folded = graph_rows(kg)
+    full = str(tmp_path / "kg_full")
+    assert main(["--synthesize", "2800", "--out", full] + base, spark=spark) == 0
+    assert folded == graph_rows(full)
+
+    # replay: a fresh checkpoint re-delivers the same epochs with the same
+    # batch ids; the fold manifest must skip every one (graph unchanged)
+    run_fold("ck2")
+    assert graph_rows(kg) == folded
