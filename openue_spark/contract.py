@@ -1071,6 +1071,50 @@ def q_link_increment_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mapping.select("mention", "canonical")
 
 
+def q_link_pairwise_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution quality, measured scale-safely: pairwise P/R/F1 of
+    the CC clustering against the fixture's planted gold (a pluralized
+    variant belongs with its base form), computed from the contingency
+    table via n-choose-2 sums — no pair enumeration on either engine."""
+    from .pipeline.evaluate import pairwise_clustering_prf
+    from .pipeline.linking import candidate_pairs_banded, connected_components
+
+    mentions = _mention_fixture(spark, sf_dir)
+    edges = candidate_pairs_banded(mentions, jaccard_distance=0.6).select(
+        "a_id", "b_id"
+    )
+    labels = connected_components(mentions, edges, max_iterations=50, strict=True)
+    others = mentions.select(F.col("mention").alias("m_other"))
+    gold = (
+        mentions.withColumn(
+            "stripped", F.expr("substring(mention, 1, length(mention) - 1)")
+        )
+        .join(
+            others,
+            (F.col("stripped") == F.col("m_other"))
+            & F.col("mention").endswith("s"),
+            "left",
+        )
+        .select(
+            "mention_id", F.coalesce("m_other", F.col("mention")).alias("gold_label")
+        )
+    )
+    assignments = labels.join(gold, "mention_id").select(
+        F.col("mention_id").alias("item"),
+        F.col("label").alias("pred_label"),
+        "gold_label",
+    )
+    prf = pairwise_clustering_prf(assignments)
+    return prf.select(
+        "pred_pairs",
+        "gold_pairs",
+        "both_pairs",
+        F.round("precision", 6).alias("precision_r"),
+        F.round("recall", 6).alias("recall_r"),
+        F.round("f1", 6).alias("f1_r"),
+    )
+
+
 def _kg_positive_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic relational positives for the KG-training ops:
     supplier/customer -> nation 'based_in' edges (names are unique, so the
@@ -1095,6 +1139,20 @@ def _kg_positive_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sup.unionByName(cust)
+
+
+def q_kg_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downstream KG analytics: entity degree histogram over the canonical
+    triple set (two partial-aggregatable groupBys; the histogram output is
+    tiny regardless of graph size)."""
+    pos = _kg_positive_fixture(spark, sf_dir).select("subj", "pred", "obj").distinct()
+    ent = pos.select(F.col("subj").alias("entity")).unionByName(
+        pos.select(F.col("obj").alias("entity"))
+    )
+    deg = ent.groupBy("entity").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_entities")
+    )
 
 
 def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1163,6 +1221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_connected_components": q_link_connected_components,
         "link_increment_components": q_link_increment_components,
         "kg_negative_samples": q_kg_negative_samples,
+        "link_pairwise_prf": q_link_pairwise_prf,
+        "kg_degree_stats": q_kg_degree_stats,
         "link_canonical_triples": q_link_canonical_triples,
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "minhash_dedup_keep": q_minhash_dedup_keep,
@@ -1431,6 +1491,46 @@ _DUCK_LINK_CC = (
     "  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node)"
     " SELECT node AS mention, min(label) AS component FROM walk GROUP BY node"
 )
+
+# Pairwise clustering P/R/F1 of the CC components vs the planted gold
+# (plural -> base form), from contingency n-choose-2 sums — mirrors
+# pipeline.evaluate.pairwise_clustering_prf over the same closure.
+_DUCK_LINK_PRF = (
+    f"WITH RECURSIVE {_duck_link_base()},"
+    " edges AS (SELECT a_m AS src, b_m AS dst FROM verified WHERE jd <= 0.6"
+    "  UNION SELECT b_m, a_m FROM verified WHERE jd <= 0.6),"
+    " walk(node, label) AS ("
+    "  SELECT mention, mention FROM mentions"
+    "  UNION"
+    "  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node),"
+    " comp AS (SELECT node AS mention, min(label) AS pred_label"
+    "  FROM walk GROUP BY node),"
+    " gold AS (SELECT mention, CASE WHEN mention LIKE '%s'"
+    "   AND substr(mention, 1, length(mention) - 1) IN"
+    "    (SELECT mention FROM mentions)"
+    "  THEN substr(mention, 1, length(mention) - 1) ELSE mention END"
+    "   AS gold_label FROM mentions),"
+    " a AS (SELECT c.mention, c.pred_label, g.gold_label"
+    "  FROM comp c JOIN gold g ON c.mention = g.mention),"
+    " cont AS (SELECT pred_label, gold_label, count(*) AS n FROM a"
+    "  GROUP BY pred_label, gold_label),"
+    " bp AS (SELECT cast(sum(n * (n - 1) / 2) AS BIGINT) AS both_pairs FROM cont),"
+    " pp AS (SELECT cast(sum(n * (n - 1) / 2) AS BIGINT) AS pred_pairs FROM"
+    "  (SELECT count(*) AS n FROM a GROUP BY pred_label)),"
+    " gp AS (SELECT cast(sum(n * (n - 1) / 2) AS BIGINT) AS gold_pairs FROM"
+    "  (SELECT count(*) AS n FROM a GROUP BY gold_label)),"
+    " m AS (SELECT pred_pairs, gold_pairs, both_pairs,"
+    "  CASE WHEN pred_pairs > 0 THEN both_pairs / cast(pred_pairs AS DOUBLE)"
+    "   ELSE 0.0 END AS p,"
+    "  CASE WHEN gold_pairs > 0 THEN both_pairs / cast(gold_pairs AS DOUBLE)"
+    "   ELSE 0.0 END AS r"
+    "  FROM pp, gp, bp)"
+    " SELECT pred_pairs, gold_pairs, both_pairs,"
+    "  round(p, 6) AS precision_r, round(r, 6) AS recall_r,"
+    "  round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r) ELSE 0.0 END, 6)"
+    "   AS f1_r FROM m"
+)
+
 
 # Full-recompute canonical mapping over the union corpus — the oracle for
 # the INCREMENTAL Spark query (q_link_increment_components): exact closure,
@@ -1706,6 +1806,20 @@ def oracle_sql() -> dict[str, str]:
         "link_blocking_pairs": _DUCK_LINK_PAIRS,
         "link_connected_components": _DUCK_LINK_CC,
         "link_increment_components": _DUCK_LINK_INC,
+        "link_pairwise_prf": _DUCK_LINK_PRF,
+        "kg_degree_stats": (
+            "WITH pos AS ("
+            " SELECT s_name AS subj, 'based_in' AS pred, n_name AS obj"
+            "  FROM supplier JOIN nation ON s_nationkey = n_nationkey"
+            " UNION"
+            " SELECT c_name, 'based_in', n_name"
+            "  FROM customer JOIN nation ON c_nationkey = n_nationkey),"
+            " ent AS (SELECT subj AS entity FROM pos"
+            "  UNION ALL SELECT obj FROM pos),"
+            " deg AS (SELECT entity, count(*) AS degree FROM ent GROUP BY entity)"
+            " SELECT degree, count(*)::BIGINT AS n_entities FROM deg"
+            " GROUP BY degree"
+        ),
         # mirrors ops/kg.py literally: same md5 bucket prefix, same
         # corruption key text, same rendezvous arg-min, same filters
         "kg_negative_samples": (

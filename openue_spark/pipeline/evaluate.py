@@ -86,3 +86,51 @@ def per_predicate_prf(predicted: DataFrame, gold: DataFrame) -> DataFrame:
             ).otherwise(0.0),
         )
     )
+
+
+def pairwise_clustering_prf(assignments: DataFrame) -> DataFrame:
+    """Pairwise precision/recall/F1 of a clustering against gold clusters —
+    the standard entity-resolution quality metric for the linking stage.
+
+    `assignments`: one row per item with (item, pred_label, gold_label).
+    A pair of items counts as predicted-linked when they share pred_label,
+    truly-linked when they share gold_label.
+
+    Computed from the (pred_label, gold_label) contingency table via
+    n-choose-2 sums — three groupBy aggregations, NO pair enumeration, so
+    the evaluation scales to any cluster size (a 10M-mention component
+    contributes one count row, not 10^13 pairs). Returns one row:
+    (pred_pairs, gold_pairs, both_pairs, precision, recall, f1).
+    """
+    c2 = lambda col: (F.col(col) * (F.col(col) - 1) / 2).cast("long")  # noqa: E731
+    cont = assignments.groupBy("pred_label", "gold_label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    both = cont.agg(
+        F.sum((F.col("n") * (F.col("n") - 1) / 2).cast("long")).alias("both_pairs")
+    )
+    pred = (
+        assignments.groupBy("pred_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(c2("n")).alias("pred_pairs"))
+    )
+    gold = (
+        assignments.groupBy("gold_label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.sum(c2("n")).alias("gold_pairs"))
+    )
+    out = pred.crossJoin(gold).crossJoin(both)
+    p = F.when(F.col("pred_pairs") > 0, F.col("both_pairs") / F.col("pred_pairs")).otherwise(0.0)
+    r = F.when(F.col("gold_pairs") > 0, F.col("both_pairs") / F.col("gold_pairs")).otherwise(0.0)
+    return (
+        out.withColumn("precision", p)
+        .withColumn("recall", r)
+        .withColumn(
+            "f1",
+            F.when(
+                (F.col("precision") + F.col("recall")) > 0,
+                2 * F.col("precision") * F.col("recall")
+                / (F.col("precision") + F.col("recall")),
+            ).otherwise(0.0),
+        )
+    )

@@ -425,3 +425,17 @@ def test_increment_fresh_incident_cap(spark):
     assert {(m, c) for m, c in capped1 if m != "grape press works."} == {
         (m, c) for m, c in prior.select("mention", "canonical").collect()
     }
+
+
+def test_pairwise_clustering_prf_hand_case(spark):
+    """4 items, pred {a,b,c}{d}, gold {a,b}{c,d}: pred_pairs=3, gold_pairs=2,
+    both=1 -> P=1/3, R=1/2, F1=0.4."""
+    from openue_spark.pipeline.evaluate import pairwise_clustering_prf
+
+    rows = [("a", 1, "x"), ("b", 1, "x"), ("c", 1, "y"), ("d", 2, "y")]
+    df = spark.createDataFrame(rows, "item string, pred_label int, gold_label string")
+    out = pairwise_clustering_prf(df).collect()[0]
+    assert (out.pred_pairs, out.gold_pairs, out.both_pairs) == (3, 2, 1)
+    assert abs(out.precision - 1 / 3) < 1e-12
+    assert abs(out.recall - 0.5) < 1e-12
+    assert abs(out.f1 - 0.4) < 1e-12
