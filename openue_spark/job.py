@@ -146,9 +146,22 @@ def main(argv: list[str] | None = None, spark=None) -> int:
 
     # an increment's extraction manifest lives under its own subdir: the
     # batch shares shard ids with the base corpus, so reusing the base
-    # manifest would wrongly skip "completed" shards (resume stays
-    # per-batch: re-submitting a failed increment resumes ITS shards)
-    extract_dir = f"{args.out}/increments/{run_id}" if args.increment else args.out
+    # manifest would wrongly skip "completed" shards. The subdir key is a
+    # DETERMINISTIC function of the batch source (not this run's uuid), so
+    # re-submitting a failed increment lands in the same dir and resumes
+    # its completed shards from the manifest.
+    if args.increment:
+        if args.input:
+            import hashlib
+
+            batch_key = "in_" + hashlib.md5(
+                os.path.abspath(args.input).encode()
+            ).hexdigest()[:12]
+        else:
+            batch_key = f"syn_{args.synthesize_offset}_{args.synthesize}"
+        extract_dir = f"{args.out}/increments/{batch_key}"
+    else:
+        extract_dir = args.out
     raw = run_extraction_resumable(
         spark, transcripts, extract_dir, n_shards=args.shards, weights_bc=weights_bc
     )
@@ -181,14 +194,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         from openue_spark.pipeline.linking import mention_state, mention_table
 
         t1 = time.time()
-        mapping = link_entities(raw, max_bucket=max_bucket)
-        # persist the mapping + per-mention feature state: together they
-        # ARE the linking state an --increment run folds new batches into
+        # ONE per-mention feature pass: the state table is both what
+        # link_entities blocks from AND what --increment runs fold into
         # (state makes the fold Θ(batch) instead of Θ(corpus))
+        state = mention_state(mention_table(raw)).localCheckpoint(eager=True)
+        state.write.mode("overwrite").parquet(f"{args.out}/link_state")
+        mapping = link_entities(raw, max_bucket=max_bucket, state=state)
         mapping.write.mode("overwrite").parquet(f"{args.out}/mapping")
-        mention_state(mention_table(raw)).write.mode("overwrite").parquet(
-            f"{args.out}/link_state"
-        )
         final = canonical_triples(raw, mapping)
         print(f"[job] linking complete ({time.time() - t1:.1f}s)")
     else:

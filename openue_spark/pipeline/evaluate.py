@@ -103,21 +103,22 @@ def pairwise_clustering_prf(assignments: DataFrame) -> DataFrame:
     (pred_pairs, gold_pairs, both_pairs, precision, recall, f1).
     """
     c2 = lambda col: (F.col(col) * (F.col(col) - 1) / 2).cast("long")  # noqa: E731
+    # coalesce: on empty input each sum is NULL, and the counts must be 0
+    # (the rate columns already degrade to 0.0 through their guards)
+    pair_sum = lambda alias: F.coalesce(F.sum(c2("n")), F.lit(0).cast("long")).alias(alias)  # noqa: E731
     cont = assignments.groupBy("pred_label", "gold_label").agg(
         F.count(F.lit(1)).alias("n")
     )
-    both = cont.agg(
-        F.sum((F.col("n") * (F.col("n") - 1) / 2).cast("long")).alias("both_pairs")
-    )
+    both = cont.agg(pair_sum("both_pairs"))
     pred = (
         assignments.groupBy("pred_label")
         .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.sum(c2("n")).alias("pred_pairs"))
+        .agg(pair_sum("pred_pairs"))
     )
     gold = (
         assignments.groupBy("gold_label")
         .agg(F.count(F.lit(1)).alias("n"))
-        .agg(F.sum(c2("n")).alias("gold_pairs"))
+        .agg(pair_sum("gold_pairs"))
     )
     out = pred.crossJoin(gold).crossJoin(both)
     p = F.when(F.col("pred_pairs") > 0, F.col("both_pairs") / F.col("pred_pairs")).otherwise(0.0)

@@ -54,6 +54,11 @@ def fold_batch_into_kg(
         raise FileNotFoundError(
             f"no linked KG at {out_dir} (need {KG_TABLES}); run a full build first"
         )
+    # three consumers below (count, mention table, canonical rewrite) —
+    # without a barrier a live extraction lineage (the streaming path)
+    # re-runs the mock forwards per consumer (the CLAUDE.md
+    # consumed-twice gotcha; cheap no-op when raw is parquet-backed)
+    raw = raw.localCheckpoint(eager=True)
     prior = spark.read.parquet(f"{out_dir}/mapping")
     state_path = f"{out_dir}/link_state"
     prior_state = (

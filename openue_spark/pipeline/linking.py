@@ -391,9 +391,47 @@ def candidate_edges(
     must be exact and fixture buckets are tiny).
     """
     shingled = _shingled_mentions(mentions)
-    banded = _cap_hot_buckets(
-        _banded_signatures(shingled, n_hashes, n_bands), max_bucket
+    return _fused_edges(
+        _banded_signatures(shingled, n_hashes, n_bands),
+        _hashed_shingles(shingled),
+        embedded,
+        jaccard_distance,
+        min_cosine,
+        max_bucket,
     )
+
+
+def candidate_edges_from_state(
+    state: DataFrame,
+    jaccard_distance: float = 0.6,
+    min_cosine: float = 0.85,
+    max_bucket: int | None = 256,
+) -> DataFrame:
+    """candidate_edges fed from a persisted mention_state table — identical
+    edges (pinned by test), zero per-mention feature recompute."""
+    return _fused_edges(
+        state.select(
+            "mention_id", F.posexplode("band_hashes").alias("band_id", "band_hash")
+        ),
+        state.select("mention_id", "sh", "n_sh"),
+        state.select("mention_id", "embedding"),
+        jaccard_distance,
+        min_cosine,
+        max_bucket,
+    )
+
+
+def _fused_edges(
+    banded_src: DataFrame,
+    hashed: DataFrame,
+    embedded: DataFrame,
+    jaccard_distance: float,
+    min_cosine: float,
+    max_bucket: int | None,
+) -> DataFrame:
+    """Shared fused-path core over any feature source (recomputed or
+    stored): cap -> self-join -> cosine -> Jaccard -> dedup."""
+    banded = _cap_hot_buckets(banded_src, max_bucket)
     a = banded.select(F.col("mention_id").alias("a_id"), "band_id", "band_hash")
     b = banded.select(F.col("mention_id").alias("b_id"), "band_id", "band_hash")
     cand = (
@@ -406,9 +444,7 @@ def candidate_edges(
     # broadcast/shuffle rationale)
     close = _cosine_filter(cand, embedded, min_cosine)
     return (
-        _jaccard_verify(
-            close, _hashed_shingles(shingled), jaccard_distance, broadcast_sides=True
-        )
+        _jaccard_verify(close, hashed, jaccard_distance, broadcast_sides=True)
         .select("a_id", "b_id", "jaccard_dist", "cosine")
         .dropDuplicates(["a_id", "b_id"])
     )
@@ -546,6 +582,7 @@ def link_entities(
     min_cosine: float = 0.85,
     blocker: str = "banded",
     max_bucket: int | None = 256,
+    state: DataFrame | None = None,
 ) -> DataFrame:
     """Full linking stage: triples -> canonical mention mapping.
 
@@ -554,16 +591,28 @@ def link_entities(
     localCheckpointed: downstream `canonical_triples` joins it twice, and
     without materialization each join would re-pull the whole LSH + CC
     lineage (measured 4x wall-clock on the end-to-end job).
+
+    `state` is an optional mention_state table covering exactly this
+    corpus's mentions (the builder that also persists it for --increment
+    runs): blocking reads its features instead of recomputing shingles,
+    signatures, and embeddings — identical edges, one feature pass per
+    corpus instead of two.
     """
     mentions = mention_table(triples).persist()
-    embedded = embed_mentions(mentions).persist()
-    if blocker == "banded":
+    if state is not None and blocker == "banded":
+        embedded = None
+        edges = candidate_edges_from_state(
+            state, jaccard_distance, min_cosine, max_bucket=max_bucket
+        )
+    elif blocker == "banded":
+        embedded = embed_mentions(mentions).persist()
         # fused path: cosine prefilter BEFORE the exact-Jaccard verify
         # (same conjunction, ~5x less verify work — see candidate_edges)
         edges = candidate_edges(
             mentions, embedded, jaccard_distance, min_cosine, max_bucket=max_bucket
         )
     else:
+        embedded = embed_mentions(mentions).persist()
         pairs = candidate_pairs(mentions, jaccard_distance)
         edges = rerank_cosine(pairs, embedded, min_cosine)
     # cap 50, not 15: the loop exits at the first converged round, so the
@@ -593,7 +642,8 @@ def link_entities(
                 stacklevel=2,
             )
     mapping = canonicalize(mentions, labels).localCheckpoint(eager=True)
-    embedded.unpersist()
+    if embedded is not None:
+        embedded.unpersist()
     mentions.unpersist()
     return mapping
 

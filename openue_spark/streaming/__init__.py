@@ -82,15 +82,19 @@ def stream_fold_sink(
     Exactly-once: the fold mutates external tables, so Spark's offset
     checkpoint alone cannot make replays safe (a restarted query re-runs
     its last uncommitted micro-batch, and re-folding double-counts
-    support). Each folded epoch therefore appends its batch id to
-    ``{kg_dir}/fold_manifest`` FIRST; a replayed epoch sees its id and
-    skips — the standard idempotent-foreachBatch protocol. Written before
+    support). Each folded epoch therefore appends
+    (batch_id, content fingerprint) to ``{kg_dir}/fold_manifest`` FIRST; a
+    replayed epoch matches BOTH and skips. The fingerprint (order-free sum
+    of per-turn key hashes) is what makes the key safe across checkpoint
+    lifetimes: epoch ids restart at 0 under a new/lost checkpoint or a
+    second stream, and deduping on the bare id would silently discard
+    genuinely-new batches that happen to reuse an old id. Written before
     the fold (not after) so a crash mid-fold fails TOWARD skipping a
     half-applied batch rather than applying it twice; recovering a batch
     that manifested but crashed pre-merge is a manual replay (drop its
     manifest row), the same trade a catalog-pointer swap makes.
     """
-    from ..pipeline.incremental import fold_batch_into_kg
+    from ..pipeline.incremental import fold_batch_into_kg, kg_exists
 
     manifest = f"{kg_dir}/fold_manifest"
 
@@ -98,17 +102,35 @@ def stream_fold_sink(
         spark = batch_df.sparkSession
         import os
 
-        if batch_df.limit(1).count() == 0:
+        # precondition BEFORE the manifest append: a deterministic failure
+        # (no KG built yet, wrong dir) must not blacklist the epoch — once
+        # a row is written, a restart skips this batch forever
+        if not kg_exists(kg_dir):
+            raise FileNotFoundError(
+                f"stream_fold_sink: no linked KG at {kg_dir}; run a full"
+                " build before starting the fold stream"
+            )
+        # bit_xor, not sum: order-free like sum, but immune to ANSI-mode
+        # long-overflow (turn keys are unique within a batch, so xor
+        # cancellation of duplicate rows is not a concern)
+        stats = batch_df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(
+                F.expr("bit_xor(xxhash64(conv_id, turn_idx))"), F.lit(0)
+            ).alias("fp"),
+        ).collect()[0]
+        if stats.n == 0:
             return  # empty epoch: no manifest row, no table rewrite
+        fp = int(stats.fp)
         if os.path.isdir(manifest):
             seen = spark.read.parquet(manifest).where(
-                F.col("batch_id") == batch_id
+                (F.col("batch_id") == batch_id) & (F.col("fingerprint") == fp)
             )
             if seen.limit(1).count() > 0:
                 return  # replayed epoch — already folded
-        spark.createDataFrame([(int(batch_id),)], "batch_id long").write.mode(
-            "append"
-        ).parquet(manifest)
+        spark.createDataFrame(
+            [(int(batch_id), fp)], "batch_id long, fingerprint long"
+        ).write.mode("append").parquet(manifest)
         raw = extract_triples(batch_df)
         fold_batch_into_kg(
             raw, kg_dir, salt_buckets=salt_buckets, max_bucket=max_bucket

@@ -439,3 +439,39 @@ def test_pairwise_clustering_prf_hand_case(spark):
     assert abs(out.precision - 1 / 3) < 1e-12
     assert abs(out.recall - 0.5) < 1e-12
     assert abs(out.f1 - 0.4) < 1e-12
+
+
+def test_state_fed_blocker_and_link_match_recompute(spark, triples_df):
+    """candidate_edges_from_state and link_entities(state=...) must produce
+    the same edges/mapping as the recompute path — the one-feature-pass
+    full build depends on it."""
+    from openue_spark.pipeline.linking import (
+        candidate_edges,
+        candidate_edges_from_state,
+        link_entities,
+        mention_state,
+        mention_table,
+    )
+
+    mentions = mention_table(triples_df).persist()
+    state = mention_state(mentions).localCheckpoint(eager=True)
+    recomputed = {
+        (r.a_id, r.b_id, round(r.jaccard_dist, 9), round(r.cosine, 9))
+        for r in candidate_edges(
+            mentions, embed_mentions(mentions), 0.6, 0.5, max_bucket=None
+        ).collect()
+    }
+    from_state = {
+        (r.a_id, r.b_id, round(r.jaccard_dist, 9), round(r.cosine, 9))
+        for r in candidate_edges_from_state(state, 0.6, 0.5, max_bucket=None).collect()
+    }
+    assert from_state == recomputed and len(from_state) > 0
+
+    m_plain = {
+        (r.mention, r.canonical) for r in link_entities(triples_df).collect()
+    }
+    m_state = {
+        (r.mention, r.canonical)
+        for r in link_entities(triples_df, state=state).collect()
+    }
+    assert m_state == m_plain

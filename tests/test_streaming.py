@@ -237,3 +237,56 @@ def test_stream_fold_sink_continuous_kg_maintenance(spark, tmp_path):
     # batch ids; the fold manifest must skip every one (graph unchanged)
     run_fold("ck2")
     assert graph_rows(kg) == folded
+
+
+def test_stream_fold_new_data_under_recycled_batch_ids(spark, tmp_path):
+    """Epoch ids restart at 0 under a new checkpoint; a batch carrying NEW
+    turns must still fold (the manifest keys on content fingerprint too,
+    not the bare id) — and a fold against a dir with no KG must fail
+    without blacklisting the epoch."""
+    import pytest
+
+    from openue_spark.job import main
+    from openue_spark.streaming import read_turn_stream, stream_fold_sink
+
+    kg = str(tmp_path / "kg")
+    base = ["--shards", "2", "--max-bucket", "none"]
+
+    # precondition failure BEFORE any KG exists: the stream errors and
+    # writes no manifest row (nothing gets blacklisted)
+    src1 = str(tmp_path / "turns1")
+    transcripts_spark(spark, 400, partitions=1, offset=3000).write.parquet(src1)
+    q = stream_fold_sink(
+        read_turn_stream(spark, src1), kg, str(tmp_path / "ck0"),
+        available_now=True, max_bucket=None,
+    )
+    with pytest.raises(Exception):
+        q.awaitTermination(300)
+        q.processAllAvailable()
+    assert not os.path.isdir(f"{kg}/fold_manifest")
+
+    assert main(["--synthesize", "3000", "--out", kg] + base, spark=spark) == 0
+    q = stream_fold_sink(
+        read_turn_stream(spark, src1), kg, str(tmp_path / "ck1"),
+        available_now=True, max_bucket=None,
+    )
+    q.awaitTermination(300)
+    n1 = spark.read.parquet(f"{kg}/graph").count()
+
+    # second source, DIFFERENT turns, fresh checkpoint -> same epoch ids;
+    # the fingerprint differs so the fold must apply, growing the graph
+    src2 = str(tmp_path / "turns2")
+    transcripts_spark(spark, 400, partitions=1, offset=3400).write.parquet(src2)
+    q = stream_fold_sink(
+        read_turn_stream(spark, src2), kg, str(tmp_path / "ck2"),
+        available_now=True, max_bucket=None,
+    )
+    q.awaitTermination(300)
+    n2 = spark.read.parquet(f"{kg}/graph").count()
+    assert n2 > n1
+    ids = [
+        (r.batch_id, r.fingerprint)
+        for r in spark.read.parquet(f"{kg}/fold_manifest").collect()
+    ]
+    assert len(ids) == 2 and ids[0][0] == ids[1][0] == 0  # recycled id, distinct fp
+    assert ids[0][1] != ids[1][1]
