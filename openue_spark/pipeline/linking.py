@@ -849,6 +849,27 @@ def incremental_canonical_mapping(
             max_iterations=max_iterations,
             strict=strict,
         )
+        # over-merge guard, mirroring link_entities: a fold that chains a
+        # huge fraction of the KG into one component is noise, not signal —
+        # warn so the operator tightens thresholds before the next batch
+        # (cheap: one count over the small CC subgraph + one over the
+        # checkpointed prior mapping)
+        biggest = (
+            labels.groupBy("label").count().agg(F.max("count")).collect()[0][0]
+            or 0
+        )
+        n_total = prior_mapping.count() + fresh.count()
+        if biggest > max(1000, n_total // 10):
+            import warnings
+
+            warnings.warn(
+                f"incremental_canonical_mapping: this fold links {biggest}"
+                f" of {n_total} mentions into one component — likely"
+                " transitive over-merge; consider a tighter"
+                " min_cosine/jaccard_distance or a smaller max_bucket",
+                RuntimeWarning,
+                stacklevel=2,
+            )
         changed = canonicalize(sub_mentions, labels)
         kept = prior_mapping.join(affected_comp, "canonical_id", "left_anti").select(
             "mention", "mention_id", "canonical_id", "canonical"
