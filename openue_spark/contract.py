@@ -1141,6 +1141,37 @@ def _kg_positive_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sup.unionByName(cust)
 
 
+_SWEEP_THRESHOLDS = [80.0, 90.0, 100.0, 110.0, 120.0, 130.0, 140.0]
+
+
+def q_a6_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-tuning curve for the SEQ decision cut (the reference
+    hard-codes sigmoid > 0.5, model.py:227): micro P/R/F1 at each
+    candidate threshold, computed in a single conditional-sum reduction
+    (pipeline.evaluate.threshold_sweep). Decision unit = (user, event
+    type); score = max value; gold = max value > 120."""
+    from .pipeline.evaluate import threshold_sweep
+
+    scores = (
+        _t(spark, sf_dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(
+            F.max("value").alias("score"),
+            F.max(F.when(F.col("value") > 120.0, 1).otherwise(0)).alias("is_gold"),
+        )
+    )
+    sweep = threshold_sweep(scores, _SWEEP_THRESHOLDS)
+    return sweep.select(
+        "threshold",
+        "pre_cnt",
+        "true_cnt",
+        "cor_cnt",
+        F.round("precision", 6).alias("precision_r"),
+        F.round("recall", 6).alias("recall_r"),
+        F.round("f1", 6).alias("f1_r"),
+    )
+
+
 def q_kg_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Downstream KG analytics: entity degree histogram over the canonical
     triple set (two partial-aggregatable groupBys; the histogram output is
@@ -1223,6 +1254,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_negative_samples": q_kg_negative_samples,
         "link_pairwise_prf": q_link_pairwise_prf,
         "kg_degree_stats": q_kg_degree_stats,
+        "a6_threshold_sweep": q_a6_threshold_sweep,
         "link_canonical_triples": q_link_canonical_triples,
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "minhash_dedup_keep": q_minhash_dedup_keep,
@@ -1807,6 +1839,31 @@ def oracle_sql() -> dict[str, str]:
         "link_connected_components": _DUCK_LINK_CC,
         "link_increment_components": _DUCK_LINK_INC,
         "link_pairwise_prf": _DUCK_LINK_PRF,
+        "a6_threshold_sweep": (
+            "WITH scores AS (SELECT user_id, event_type, max(value) AS score,"
+            "  max(CASE WHEN value > 120.0 THEN 1 ELSE 0 END) AS is_gold"
+            "  FROM events GROUP BY user_id, event_type),"
+            " th(threshold) AS (VALUES "
+            + ", ".join(f"({t})" for t in _SWEEP_THRESHOLDS)
+            + "),"
+            " agg AS (SELECT threshold,"
+            "  sum(CASE WHEN score > threshold THEN 1 ELSE 0 END)::BIGINT"
+            "   AS pre_cnt,"
+            "  (SELECT sum(is_gold)::BIGINT FROM scores) AS true_cnt,"
+            "  sum(CASE WHEN score > threshold AND is_gold = 1 THEN 1 ELSE 0"
+            "   END)::BIGINT AS cor_cnt"
+            "  FROM scores, th GROUP BY threshold),"
+            " m AS (SELECT threshold::DOUBLE AS threshold, pre_cnt, true_cnt,"
+            "  cor_cnt,"
+            "  CASE WHEN pre_cnt > 0 THEN cor_cnt / cast(pre_cnt AS DOUBLE)"
+            "   ELSE 0.0 END AS p,"
+            "  CASE WHEN true_cnt > 0 THEN cor_cnt / cast(true_cnt AS DOUBLE)"
+            "   ELSE 0.0 END AS r FROM agg)"
+            " SELECT threshold, pre_cnt, true_cnt, cor_cnt,"
+            "  round(p, 6) AS precision_r, round(r, 6) AS recall_r,"
+            "  round(CASE WHEN p + r > 0 THEN 2 * p * r / (p + r)"
+            "   ELSE 0.0 END, 6) AS f1_r FROM m"
+        ),
         "kg_degree_stats": (
             "WITH pos AS ("
             " SELECT s_name AS subj, 'based_in' AS pred, n_name AS obj"

@@ -135,3 +135,50 @@ def pairwise_clustering_prf(assignments: DataFrame) -> DataFrame:
             ).otherwise(0.0),
         )
     )
+
+
+def threshold_sweep(scores: DataFrame, thresholds: list[float]) -> DataFrame:
+    """Micro P/R/F1 at each decision threshold — the tuning curve for the
+    reference's fixed sigmoid cut (model.py:227 hard-codes 0.5; a real
+    deployment sweeps it against held-out gold).
+
+    `scores`: one row per decision unit with (score double, is_gold 0/1).
+    Single-pass: |thresholds| conditional sums inside ONE aggregate — a
+    partially-aggregated reduction with no shuffle growth and no
+    row x threshold blow-up — then `stack` unpivots the wide row to one
+    row per threshold: (threshold, pre_cnt, true_cnt, cor_cnt,
+    precision, recall, f1).
+    """
+    gold = F.col("is_gold").cast("long")
+    zero = F.lit(0).cast("long")
+    aggs = [F.coalesce(F.sum(gold), zero).alias("true_cnt")]
+    for i, t in enumerate(thresholds):
+        sel = (F.col("score") > F.lit(float(t))).cast("long")
+        aggs.append(F.coalesce(F.sum(sel), zero).alias(f"pre_{i}"))
+        aggs.append(F.coalesce(F.sum(sel * gold), zero).alias(f"cor_{i}"))
+    wide = scores.agg(*aggs)
+    stacked = ", ".join(
+        f"{float(t)}D, pre_{i}, cor_{i}" for i, t in enumerate(thresholds)
+    )
+    long = wide.selectExpr(
+        "true_cnt",
+        f"stack({len(thresholds)}, {stacked}) AS (threshold, pre_cnt, cor_cnt)",
+    )
+    p = F.when(F.col("pre_cnt") > 0, F.col("cor_cnt") / F.col("pre_cnt")).otherwise(0.0)
+    r = F.when(F.col("true_cnt") > 0, F.col("cor_cnt") / F.col("true_cnt")).otherwise(0.0)
+    return (
+        long.withColumn("precision", p)
+        .withColumn("recall", r)
+        .withColumn(
+            "f1",
+            F.when(
+                (F.col("precision") + F.col("recall")) > 0,
+                2 * F.col("precision") * F.col("recall")
+                / (F.col("precision") + F.col("recall")),
+            ).otherwise(0.0),
+        )
+        .select(
+            "threshold", "pre_cnt", "true_cnt", "cor_cnt",
+            "precision", "recall", "f1",
+        )
+    )

@@ -147,3 +147,24 @@ def test_broadcast_weights_seam(spark, fixture_turns):
     bc2 = spark.sparkContext.broadcast(permissive)
     changed = extract_triples(sdf, weights_bc=bc2).count()
     assert changed > len(base)
+
+
+def test_threshold_sweep_hand_case(spark):
+    """scores (0.2,g) (0.4,-) (0.6,g) (0.8,g): at t=0.5 -> pre=2 cor=2
+    true=3 (P=1, R=2/3); at t=0.3 -> pre=3 cor=2 (P=2/3); empty input
+    degrades to zero counts, not NULLs."""
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from openue_spark.pipeline.evaluate import threshold_sweep
+
+    rows = [(0.2, 1), (0.4, 0), (0.6, 1), (0.8, 1)]
+    df = spark.createDataFrame(rows, "score double, is_gold int")
+    out = {r.threshold: r for r in threshold_sweep(df, [0.3, 0.5]).collect()}
+    assert (out[0.5].pre_cnt, out[0.5].cor_cnt, out[0.5].true_cnt) == (2, 2, 3)
+    assert abs(out[0.5].precision - 1.0) < 1e-12
+    assert abs(out[0.5].recall - 2 / 3) < 1e-12
+    assert (out[0.3].pre_cnt, out[0.3].cor_cnt) == (3, 2)
+
+    empty = spark.createDataFrame([], "score double, is_gold int")
+    e = threshold_sweep(empty, [0.5]).collect()[0]
+    assert (e.pre_cnt, e.true_cnt, e.cor_cnt, e.precision) == (0, 0, 0, 0.0)
