@@ -30,6 +30,21 @@ Scale design — no dense entity ids, no driver-side vocabulary:
 
 Everything is md5-based specifically so a DuckDB oracle can mirror the
 sampling bit-for-bit (xxhash64 exists only on the Spark side).
+
+Cost model (why the bucket count is auto-sized): the rendezvous join
+expands each corruption by the mean bucket size |E| / 16^W before the
+arg-min collapses it, so total join work is |pos| * k * |E| / 16^W rows.
+A FIXED width (the old default W=2, 256 buckets) is a scale-killer: at
+|E| = 10^9 every corruption would drag ~4M candidate rows through the
+aggregate. `auto_bucket_hex` picks the smallest W with mean bucket size
+<= TARGET_BUCKET_ENTITIES (64), keeping per-corruption work O(64)
+at ANY vocabulary size (W=6 -> 16.7M buckets at |E| = 10^9) while
+leaving buckets populated enough that empty-bucket drops stay rare
+(mean occupancy lands in (4, 64]; P(empty) <= e^-4 ~ 2% at the low
+edge, and those drops are deterministic and oracle-mirrored). The
+width derives from an EXACT distinct count — approx_count_distinct
+would be cheaper but could disagree with the DuckDB oracle's exact
+count at a threshold boundary and silently flip every bucket key.
 """
 
 from __future__ import annotations
@@ -37,31 +52,62 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-BUCKET_HEX = 2  # default md5-prefix bucket key width: 16^2 = 256 buckets
+BUCKET_HEX = 2  # legacy fixed width (16^2 = 256 buckets); None -> auto
+TARGET_BUCKET_ENTITIES = 64  # auto-size target mean bucket occupancy
+MAX_BUCKET_HEX = 8
 
 
-def entity_vocab(triples: DataFrame, bucket_hex: int = BUCKET_HEX) -> DataFrame:
-    """(entity, bucket): distinct subj/obj surface forms, bucketed by md5
-    prefix (string-keyed — uniform, engine-portable). `bucket_hex` sets the
-    prefix width: 16^bucket_hex buckets. Size it well below |E| (empty
-    buckets silently drop corruptions); 2 suits |E| >= ~10k, 1 suits tiny
-    vocabularies."""
+def auto_bucket_hex(
+    n_entities: int,
+    target: int = TARGET_BUCKET_ENTITIES,
+    max_hex: int = MAX_BUCKET_HEX,
+) -> int:
+    """Smallest md5-prefix width W (1..max_hex) with |E| / 16^W <= target.
+    Pure integer compares so the DuckDB oracle's CASE chain
+    (contract._duck_kg_width_case) derives the identical W from the same
+    exact count."""
+    w = 1
+    while w < max_hex and n_entities > target * (16 ** w):
+        w += 1
+    return w
+
+
+def _vocab_and_width(
+    triples: DataFrame, bucket_hex: int | None
+) -> tuple[DataFrame, int]:
     ents = (
         triples.select(F.col("subj").alias("entity"))
         .unionByName(triples.select(F.col("obj").alias("entity")))
         .where(F.length("entity") > 0)
         .distinct()
     )
-    return ents.withColumn(
-        "bucket", F.substring(F.md5("entity"), 1, bucket_hex)
+    if bucket_hex is None:
+        ents = ents.localCheckpoint(eager=True)
+        bucket_hex = auto_bucket_hex(ents.count())
+    return (
+        ents.withColumn("bucket", F.substring(F.md5("entity"), 1, bucket_hex)),
+        bucket_hex,
     )
+
+
+def entity_vocab(triples: DataFrame, bucket_hex: int | None = None) -> DataFrame:
+    """(entity, bucket): distinct subj/obj surface forms, bucketed by md5
+    prefix (string-keyed — uniform, engine-portable). `bucket_hex` sets the
+    prefix width (16^bucket_hex buckets); None (default) auto-sizes it from
+    an exact distinct count so mean bucket occupancy stays ~TARGET
+    regardless of vocabulary size (see module docstring cost model). The
+    distinct vocabulary is localCheckpointed when auto-sizing: the count
+    action and the downstream rendezvous join then share one shuffle
+    instead of recomputing the distinct, and the blocks are reclaimed by
+    the ContextCleaner once the plan is dereferenced."""
+    return _vocab_and_width(triples, bucket_hex)[0]
 
 
 def negative_samples(
     triples: DataFrame,
     k: int = 2,
     entities: DataFrame | None = None,
-    bucket_hex: int = BUCKET_HEX,
+    bucket_hex: int | None = None,
 ) -> DataFrame:
     """k filtered tail-corruption negatives per distinct positive triple.
 
@@ -70,13 +116,24 @@ def negative_samples(
     rows come back for a positive when a corruption is filtered (true
     triple, o' = o, or empty bucket).
 
+    `bucket_hex` None (default) auto-sizes the bucket count from the
+    vocabulary's exact distinct count (module docstring cost model).
     `entities` overrides the corpus-derived vocabulary (e.g. a persisted
-    entity dim covering the full KG when sampling for one partition).
+    entity dim covering the full KG when sampling for one partition); a
+    prebuilt vocabulary already carries its bucket keys, so the matching
+    width MUST be passed explicitly — a mismatched corruption-side prefix
+    would silently sample from the wrong (or no) bucket.
     """
+    if entities is not None:
+        if bucket_hex is None:
+            raise ValueError(
+                "negative_samples: pass the bucket_hex the prebuilt"
+                " `entities` vocabulary was built with"
+            )
+        vocab = entities
+    else:
+        vocab, bucket_hex = _vocab_and_width(triples, bucket_hex)
     pos = triples.select("subj", "pred", "obj").distinct()
-    vocab = (
-        entities if entities is not None else entity_vocab(triples, bucket_hex)
-    )
     # one row per (positive, corruption index), each targeting its bucket
     cand = pos.select(
         "subj",

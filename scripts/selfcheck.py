@@ -1,6 +1,8 @@
 """Mimic the driver's verify loop: entry() smoke + queries() vs oracle_sql().
 
-Usage: python scripts/selfcheck.py [sf_dir]   (default /root/testdata/sf0.01)
+Usage: python scripts/selfcheck.py [sf_dir] [--only name1,name2]
+(sf_dir defaults to /root/testdata/sf0.01; --only restricts to the named
+queries and skips the entry() smoke — fast iteration on one oracle)
 
 For each query: run the Spark DataFrame, run the DuckDB oracle on the same
 parquet tables, compare row count, sorted-column schema, and an
@@ -46,18 +48,25 @@ def multiset(rows, cols):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    only: set[str] | None = None
+    if "--only" in args:
+        i = args.index("--only")
+        only = set(args[i + 1].split(","))
+        args = args[:i] + args[i + 2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
     import __spark_entry__ as e
     from openue_spark.session import get_spark
 
     spark = get_spark(app_name="selfcheck", master="local[8]", shuffle_partitions=16)
 
-    t0 = time.time()
-    res = e.entry(spark)
-    n = res.count()
-    print(f"[entry] rows={n} schema={[f.name for f in res.schema.fields]} "
-          f"({time.time() - t0:.1f}s)")
-    assert n >= 0
+    if only is None:
+        t0 = time.time()
+        res = e.entry(spark)
+        n = res.count()
+        print(f"[entry] rows={n} schema={[f.name for f in res.schema.fields]} "
+              f"({time.time() - t0:.1f}s)")
+        assert n >= 0
 
     con = duckdb.connect()
     for t in TABLES:
@@ -68,6 +77,8 @@ def main() -> int:
     qs, oracles = e.queries(), e.oracle_sql()
     failed = []
     for name, fn in qs.items():
+        if only is not None and name not in only:
+            continue
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)

@@ -373,3 +373,56 @@ def test_negative_samples_external_vocab(spark, kg_pos):
     out = negative_samples(kg_pos, k=4, entities=extra, bucket_hex=1).collect()
     assert len(out) > 0
     assert all(r.neg_obj.startswith("outside") for r in out)
+
+
+def test_auto_bucket_hex_thresholds():
+    """Width selection is pure integer math shared (by construction) with
+    the DuckDB oracle's CASE chain — spot-check the boundaries and the
+    documented scale points (mean occupancy <= 64 at any |E|)."""
+    from openue_spark.ops.kg import auto_bucket_hex
+
+    assert auto_bucket_hex(1) == 1
+    assert auto_bucket_hex(64 * 16) == 1          # exactly at the boundary
+    assert auto_bucket_hex(64 * 16 + 1) == 2      # one past it
+    assert auto_bucket_hex(64 * 16 ** 2) == 2
+    assert auto_bucket_hex(10 ** 9) == 6          # 16.7M buckets, ~60/bucket
+    assert auto_bucket_hex(10 ** 12) == 8         # capped at md5-prefix 8
+
+
+def test_negative_samples_auto_width_matches_explicit(spark, kg_pos):
+    """Default (auto) sampling must equal an explicit bucket_hex equal to
+    the derived width — same buckets, same rendezvous picks, bit-identical
+    rows — and a prebuilt vocabulary without its width must fail loudly."""
+    import pytest as _pytest
+
+    from openue_spark.ops.kg import auto_bucket_hex, entity_vocab, negative_samples
+
+    n = entity_vocab(kg_pos, bucket_hex=1).count()
+    w = auto_bucket_hex(n)
+    auto = sorted(map(tuple, negative_samples(kg_pos, k=3).collect()))
+    explicit = sorted(map(tuple, negative_samples(kg_pos, k=3, bucket_hex=w).collect()))
+    assert auto == explicit and len(auto) > 0
+
+    vocab = entity_vocab(kg_pos, bucket_hex=w)
+    with _pytest.raises(ValueError, match="bucket_hex"):
+        negative_samples(kg_pos, k=2, entities=vocab)
+
+
+def test_negative_samples_wide_vocab_autosizes(spark):
+    """A vocabulary past the first width boundary (|E| > 1024) must widen
+    to bucket_hex=2 automatically and still sample uniformly-ish: most
+    corruptions land (low empty-bucket drop rate) and every pick is a
+    vocabulary member."""
+    from openue_spark.ops.kg import auto_bucket_hex, negative_samples
+
+    rows = [(f"h{i:04d}", "rel", f"t{i % 1200:04d}") for i in range(1200)]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    # |E| = 1200 heads + 1200 tails distinct-ish -> > 1024 -> w=2
+    assert auto_bucket_hex(2400) == 2
+    out = negative_samples(df, k=1).collect()
+    # 256 buckets at ~9.4 mean occupancy: P(empty) ~ e^-9.4; nearly all of
+    # the 1200 corruptions must survive (filter drops are also possible but
+    # rare in this sparse graph)
+    assert len(out) > 1000
+    ents = {r[0] for r in rows} | {r[2] for r in rows}
+    assert all(r.neg_obj in ents for r in out)

@@ -168,3 +168,30 @@ def test_threshold_sweep_hand_case(spark):
     empty = spark.createDataFrame([], "score double, is_gold int")
     e = threshold_sweep(empty, [0.5]).collect()[0]
     assert (e.pre_cnt, e.true_cnt, e.cor_cnt, e.precision) == (0, 0, 0, 0.0)
+
+
+def test_golden_fixture_is_current():
+    """The checked-in golden parquet (scripts/make_golden.py) must equal the
+    live oracle's output multiset over the same 2000-turn window — a stale
+    fixture would silently weaken the extract_diff_vs_golden driver row
+    (no Spark needed: this pins fixture <-> oracle; the parity tests above
+    pin oracle <-> pipeline)."""
+    import os
+
+    import pandas as pd
+
+    from openue_spark.contract import _GOLDEN_TURNS, _golden_path
+
+    golden = pd.read_parquet(_golden_path())
+    assert os.path.basename(_golden_path()) == f"golden_triples_{_GOLDEN_TURNS}.parquet"
+    turns = transcripts_pandas(_GOLDEN_TURNS)
+    rows = list(zip(turns["conv_id"], turns["turn_idx"], turns["text"]))
+    fresh = Counter(
+        (t.conv_id, int(t.turn_idx), t.subj, int(t.rel_id), t.pred, t.obj)
+        for t in extract_corpus(rows)
+    )
+    stored = Counter(
+        (r.conv_id, int(r.turn_idx), r.subj, int(r.rel_id), r.pred, r.obj)
+        for r in golden.itertuples(index=False)
+    )
+    assert fresh == stored and sum(stored.values()) > 1000
