@@ -1765,6 +1765,10 @@ def _duck_kg_neg() -> str:
         for w in range(1, MAX_BUCKET_HEX)
     )
     width_case = f"CASE {whens} ELSE {MAX_BUCKET_HEX} END"
+    # rank-mod pick, mirroring ops.kg: member rank = row_number()-1 ordered
+    # by entity (ASCII here; both engines compare binary), target rank =
+    # 60-bit ckey prefix mod bucket size. ('0x' || hex)::BIGINT here ==
+    # cast(conv(hex, 16, 10) as bigint) in Spark (verified bit-identical).
     return (
         "WITH pos AS ("
         " SELECT s_name AS subj, 'based_in' AS pred, n_name AS obj"
@@ -1779,16 +1783,22 @@ def _duck_kg_neg() -> str:
         "  (SELECT count(*) AS n FROM ents)),"
         " vocab AS (SELECT entity,"
         "  substr(md5(entity), 1, (SELECT w FROM bw)) AS bucket FROM ents),"
+        " ranked AS (SELECT bucket, entity,"
+        "  row_number() OVER (PARTITION BY bucket ORDER BY entity) - 1 AS rnk"
+        "  FROM vocab),"
+        " sizes AS (SELECT bucket, count(*)::BIGINT AS bsz"
+        "  FROM vocab GROUP BY bucket),"
         " cand AS (SELECT subj, pred, obj, i AS neg_idx,"
         "  md5(subj || '|' || pred || '|' || obj || '|' ||"
         "   cast(i AS VARCHAR)) AS ckey"
         "  FROM pos, (SELECT 1 AS i UNION ALL SELECT 2) ks),"
-        " picked AS (SELECT subj, pred, obj, neg_idx,"
-        "  arg_min(entity, md5(entity || '@' || ckey)) AS neg_obj"
-        "  FROM (SELECT c.*, substr(ckey, 1, (SELECT w FROM bw)) AS bucket"
-        "   FROM cand c)"
-        "  JOIN vocab USING (bucket)"
-        "  GROUP BY subj, pred, obj, neg_idx, ckey)"
+        " tgt AS (SELECT c.subj, c.pred, c.obj, c.neg_idx, s.bucket,"
+        "  (('0x' || substr(c.ckey, 1, 15))::BIGINT % s.bsz) AS rnk"
+        "  FROM cand c JOIN sizes s"
+        "  ON s.bucket = substr(c.ckey, 1, (SELECT w FROM bw))),"
+        " picked AS (SELECT t.subj, t.pred, t.obj, t.neg_idx,"
+        "  r.entity AS neg_obj FROM tgt t"
+        "  JOIN ranked r ON r.bucket = t.bucket AND r.rnk = t.rnk)"
         " SELECT p.subj, p.pred, p.obj, p.neg_idx, p.neg_obj"
         " FROM picked p WHERE p.neg_obj <> p.obj"
         " AND NOT EXISTS (SELECT 1 FROM pos t WHERE t.subj = p.subj"

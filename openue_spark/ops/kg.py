@@ -13,15 +13,21 @@ Scale design — no dense entity ids, no driver-side vocabulary:
   which needs either a dense-id table (global row_number = single-partition
   sort) or a driver-collected vocab (doesn't fit). Instead entities are
   hashed into B string-keyed buckets (md5 prefix — uniform by
-  construction), each corruption deterministically targets bucket
-  md5(s|p|o|i), and WITHIN the bucket the replacement is chosen by
-  rendezvous hashing: the entity minimizing md5(entity @ corruption-key).
-  One equi-join on uniform bucket keys + one arg-min aggregate — no skew
-  surface, no global sort, fully deterministic (resume/backfill emits
-  byte-identical samples).
-- Per-corruption uniformity: bucket choice is uniform over B, rendezvous
-  pick is uniform within the bucket, so entity selection is uniform up to
-  bucket-size variation (multinomial; negligible for |E| >> B).
+  construction); WITHIN each bucket members get a local dense rank
+  (row_number over a TARGET-sized partition — parallel, never a global
+  sort). Each corruption deterministically targets bucket md5(s|p|o|i)
+  and picks the member at rank hash(ckey) % bucket_size: one equi-join to
+  the per-bucket size, one exact equi-join on (bucket, rank). Every
+  corruption matches exactly ONE vocab row, so per-corruption work is
+  O(1) at any |E| — no skew surface, no expansion, fully deterministic
+  (resume/backfill emits byte-identical samples). An earlier rendezvous
+  variant (arg-min of md5(entity @ ckey) over bucket MEMBERS) cost
+  |pos| * k * |E|/B intermediate rows — 2M rows and 3x wall-clock on the
+  sf0.1 bench, and unboundedly worse as |E| grows.
+- Per-corruption uniformity: bucket choice is uniform over B, the 60-bit
+  hash mod bucket_size is uniform within the bucket (mod bias ~ sz/2^60),
+  so entity selection is uniform up to bucket-size variation
+  (multinomial; negligible for |E| >> B).
 - "Filtered": corruptions colliding with a TRUE triple are dropped by an
   anti-join against the positive set (left_anti on (subj, pred, obj) —
   the standard Bordes-et-al. protocol), as are no-op corruptions o' = o.
@@ -29,27 +35,25 @@ Scale design — no dense entity ids, no driver-side vocabulary:
   bucket is populated; the contract oracle mirrors the same drop).
 
 Everything is md5-based specifically so a DuckDB oracle can mirror the
-sampling bit-for-bit (xxhash64 exists only on the Spark side).
+sampling bit-for-bit (xxhash64 exists only on the Spark side; the 60-bit
+rank hash is conv(md5-prefix, 16, 10) here and ('0x' || prefix)::BIGINT
+there, verified bit-identical).
 
-Cost model (why the bucket count is auto-sized): the rendezvous join
-expands each corruption by the mean bucket size |E| / 16^W before the
-arg-min collapses it, so total join work is |pos| * k * |E| / 16^W rows.
-A FIXED width (the old default W=2, 256 buckets) is a scale-killer: at
-|E| = 10^9 every corruption would drag ~4M candidate rows through the
-aggregate. `auto_bucket_hex` picks the smallest W with mean bucket size
-<= TARGET_BUCKET_ENTITIES (64), keeping per-corruption work O(64)
-at ANY vocabulary size (W=6 -> 16.7M buckets at |E| = 10^9) while
-leaving buckets populated enough that empty-bucket drops stay rare
-(mean occupancy lands in (4, 64]; P(empty) <= e^-4 ~ 2% at the low
-edge, and those drops are deterministic and oracle-mirrored). The
-width derives from an EXACT distinct count — approx_count_distinct
-would be cheaper but could disagree with the DuckDB oracle's exact
-count at a threshold boundary and silently flip every bucket key.
+Bucket-width auto-sizing: `auto_bucket_hex` picks the smallest W with
+mean bucket size <= TARGET_BUCKET_ENTITIES (64). The width no longer
+drives join cost (the rank join is expansion-free); it bounds the
+row_number window partitions and the per-bucket size table, and keeps
+buckets populated enough that empty-bucket drops stay rare (mean
+occupancy lands in (4, 64]; P(empty) <= e^-4 ~ 2% at the low edge, and
+those drops are deterministic and oracle-mirrored). The width derives
+from an EXACT distinct count — approx_count_distinct would be cheaper
+but could disagree with the DuckDB oracle's exact count at a threshold
+boundary and silently flip every bucket key.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 BUCKET_HEX = 2  # legacy fixed width (16^2 = 256 buckets); None -> auto
@@ -133,7 +137,12 @@ def negative_samples(
         vocab = entities
     else:
         vocab, bucket_hex = _vocab_and_width(triples, bucket_hex)
-    pos = triples.select("subj", "pred", "obj").distinct()
+    # the distinct positive set feeds THREE consumers (corruption fan-out,
+    # true-triple filter, and — via the caller — often the vocab too);
+    # checkpoint it once instead of re-running the upstream plan per branch
+    pos = triples.select("subj", "pred", "obj").distinct().localCheckpoint(
+        eager=False
+    )
     # one row per (positive, corruption index), each targeting its bucket
     cand = pos.select(
         "subj",
@@ -143,22 +152,31 @@ def negative_samples(
     ).withColumn(
         "ckey", F.md5(F.concat_ws("|", "subj", "pred", "obj", "neg_idx"))
     ).withColumn("bucket", F.substring("ckey", 1, bucket_hex))
-    # rendezvous pick: the bucket member minimizing md5(entity @ ckey).
-    # The join key (bucket) is uniform by construction; the per-group
-    # arg-min is a partial-aggregatable min(struct) — one shuffle total.
+    # rank-mod pick: number the bucket members 0..sz-1 (row_number over the
+    # bucket — partitions are TARGET-sized, so the window never sees a big
+    # partition), then each corruption selects rank = hash(ckey) % sz.
+    # Unlike a rendezvous pick over bucket members, the join matches
+    # EXACTLY ONE vocab row per corruption — no |E|/B-row expansion before
+    # an arg-min, so per-corruption work is O(1) at any vocabulary size
+    # (the old rendezvous form cost |pos|*k*|E|/B intermediate rows;
+    # measured 3x on the sf0.1 bench). hash = the first 15 hex chars of
+    # ckey as a 60-bit int — conv() here, ('0x'||...)::BIGINT in the
+    # DuckDB oracle, verified bit-identical; mod bias over <= 2^12-sized
+    # buckets is ~sz/2^60, immaterial.
+    wb = Window.partitionBy("bucket").orderBy("entity")
+    ranked = vocab.select(
+        "bucket", "entity", (F.row_number().over(wb) - 1).alias("rnk")
+    )
+    sizes = vocab.groupBy("bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    targeted = cand.join(sizes, "bucket").withColumn(
+        "rnk",
+        F.expr("cast(conv(substring(ckey, 1, 15), 16, 10) as bigint)")
+        % F.col("bsz"),
+    )
     picked = (
-        cand.join(vocab, "bucket")
-        .groupBy("subj", "pred", "obj", "neg_idx")
-        .agg(
-            F.min(
-                F.struct(
-                    F.md5(F.concat_ws("@", "entity", "ckey")).alias("rv"),
-                    F.col("entity").alias("entity"),
-                )
-            ).alias("pick")
-        )
+        targeted.join(ranked.select("bucket", "rnk", "entity"), ["bucket", "rnk"])
         .select(
-            "subj", "pred", "obj", "neg_idx", F.col("pick.entity").alias("neg_obj")
+            "subj", "pred", "obj", "neg_idx", F.col("entity").alias("neg_obj")
         )
         .where(F.col("neg_obj") != F.col("obj"))
     )

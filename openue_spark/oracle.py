@@ -93,14 +93,18 @@ def extract_turn(
     text: str,
     num_relations: int = NUM_RELATIONS,
     max_seq_length: int = MAX_SEQ_LENGTH,
+    encode_fn=None,
 ) -> list[tuple[int, str, str]]:
     """Full reference pipeline on one sentence -> [(rel_id, subj, obj), ...].
 
     Batching in the reference is semantically inert for inference (the mock
     scorers are per-sentence deterministic and padding is masked), so the
-    oracle runs sentence-at-a-time.
+    oracle runs sentence-at-a-time. `encode_fn` is the tokenizer seam
+    (``(text, max_length) -> (ids, words)``; None = built-in word-level)
+    — mirror of the pipeline's `tokenizer_bc` so parity can be asserted
+    under any injected tokenizer.
     """
-    ids, words = encode(text, max_seq_length - 2)
+    ids, words = (encode_fn or encode)(text, max_seq_length - 2)
     ids_arr = np.asarray(ids, dtype=np.int64)
     probs = seq_probs(ids_arr, num_relations)
     selected = probs > SIGMOID_THRESHOLD
@@ -122,11 +126,14 @@ def extract_turn(
     return out
 
 
-def extract_corpus(rows: list[tuple[str, int, str]]) -> list[Triple]:
+def extract_corpus(
+    rows: list[tuple[str, int, str]], encode_fn=None
+) -> list[Triple]:
     """rows: (conv_id, turn_idx, text) -> reference triples (with duplicates,
-    as the reference emits them; dedup is a separate downstream stage)."""
+    as the reference emits them; dedup is a separate downstream stage).
+    `encode_fn` as in `extract_turn`."""
     triples: list[Triple] = []
     for conv_id, turn_idx, text in rows:
-        for rel_id, subj, obj in extract_turn(text):
+        for rel_id, subj, obj in extract_turn(text, encode_fn=encode_fn):
             triples.append(Triple(conv_id, turn_idx, subj, rel_id, ID2REL[rel_id], obj))
     return triples

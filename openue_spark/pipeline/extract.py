@@ -78,14 +78,18 @@ _DECODED_SCHEMA = T.StructType(
 )
 
 
-def _tokenize_and_score_fn(weights_bc=None):
+def _tokenize_and_score_fn(weights_bc=None, tokenizer_bc=None):
     """P1+P2+U1 in one Arrow pass: text -> (ids, words, per-relation probs).
 
     Iterator form so per-worker init happens once, not per batch: the
     optional `weights_bc` is an ``sc.broadcast(MockWeights)`` fetched via
     `.value` inside the generator — one deserialize per Python worker
     process (pyspark Broadcast caches the value), exactly the seam real
-    BERT weights would use. The model forward is batched across the whole
+    BERT weights would use. `tokenizer_bc` is the matching tokenizer seam
+    (an object with ``encode(text, max_length) -> (ids, words)``, e.g.
+    tokenizer.SubwordTokenizer; None uses the built-in word-level encode —
+    the reference's real subword vocab would ride this broadcast,
+    data_module.py:25-35). The model forward is batched across the whole
     Arrow batch (seq_probs_batch over zero-padded ids) — per-row numpy
     calls cost ~30us/turn in call overhead alone, the batched matrix form
     ~1us/turn; pad-to-batch-max is the dynamic-batching policy.
@@ -93,6 +97,7 @@ def _tokenize_and_score_fn(weights_bc=None):
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = weights_bc.value if weights_bc is not None else None
+        enc = tokenizer_bc.value.encode if tokenizer_bc is not None else encode
         max_len = MAX_SEQ_LENGTH - 2  # interactive tokenize bound (utils.py:579-584)
         for pdf in batches:
             n = len(pdf)
@@ -100,7 +105,7 @@ def _tokenize_and_score_fn(weights_bc=None):
             max_l = 0
             texts = pdf["text"].to_numpy()
             for text in texts:
-                ids, _words = encode(text, max_len)
+                ids, _words = enc(text, max_len)
                 ids_col.append(ids)
                 if len(ids) > max_l:
                     max_l = len(ids)
@@ -125,18 +130,21 @@ def _tokenize_and_score_fn(weights_bc=None):
     return gen
 
 
-def _ner_decode_fn(weights_bc=None):
+def _ner_decode_fn(weights_bc=None, tokenizer_bc=None):
     """U2+A7+W4+W3 in one Arrow pass over the fanned-out (turn, relation) rows.
 
     Consumes the *spliced* sequence built by column ops upstream, so any
     splice defect changes every mock tag (poly_hash of the full sequence)
-    and breaks parity — deliberate test power. `weights_bc` as in
-    `_tokenize_and_score_fn`.
+    and breaks parity — deliberate test power. `weights_bc` /
+    `tokenizer_bc` as in `_tokenize_and_score_fn` (the decode stage
+    re-tokenizes to rebuild span surface words, so it needs the SAME
+    tokenizer the scoring stage used).
     """
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = weights_bc.value if weights_bc is not None else None
-        yield from _ner_decode_batches(batches, weights)
+        tok = tokenizer_bc.value if tokenizer_bc is not None else None
+        yield from _ner_decode_batches(batches, weights, tok)
 
     return gen
 
@@ -182,15 +190,15 @@ def _decode_spans_batch(tags_mat: np.ndarray, lengths: np.ndarray):
 
 
 def _ner_decode_batches(
-    batches: Iterator[pd.DataFrame], weights
+    batches: Iterator[pd.DataFrame], weights, tok=None
 ) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         spliced_arr = pdf["spliced"].to_numpy()
         text_arr = pdf["text"].to_numpy()
         rel_arr = pdf["rel_id"].to_numpy()
-        # rebuild the kept words exactly as encode() did (same tokenizer,
-        # same truncation bound) — cheaper than shipping array<string>
-        # through the fan-out
+        # rebuild the kept words exactly as the scoring-stage encode did
+        # (same tokenizer, same truncation bound) — cheaper than shipping
+        # array<string> through the fan-out
         word_bound = max(0, (MAX_SEQ_LENGTH - 2) - 2)
         words_cache: dict[int, list[str]] = {}
         n = len(pdf)
@@ -213,7 +221,10 @@ def _ner_decode_batches(
         for r, s, e, t in zip(rows, starts, ends, types):
             words = words_cache.get(r)
             if words is None:
-                words = tokenize_words(text_arr[r])[:word_bound]
+                if tok is not None:
+                    words = tok.encode(text_arr[r], MAX_SEQ_LENGTH - 2)[1]
+                else:
+                    words = tokenize_words(text_arr[r])[:word_bound]
                 words_cache[r] = words
             (subj_col if t == _TAG_BSUB else obj_col)[r].append(span_text((s, e), words))
         yield pd.DataFrame(
@@ -227,11 +238,13 @@ def _ner_decode_batches(
         )
 
 
-def score_relations(transcripts: DataFrame, weights_bc=None) -> DataFrame:
+def score_relations(
+    transcripts: DataFrame, weights_bc=None, tokenizer_bc=None
+) -> DataFrame:
     """transcripts(conv_id, turn_idx, text, ...) -> + ids, words, probs."""
     cols = [c for c in ("conv_id", "turn_idx", "text") if c in transcripts.columns]
     return transcripts.select(*cols).mapInPandas(
-        _tokenize_and_score_fn(weights_bc), schema=_SCORED_SCHEMA
+        _tokenize_and_score_fn(weights_bc, tokenizer_bc), schema=_SCORED_SCHEMA
     )
 
 
@@ -276,10 +289,10 @@ def splice_marker(fanout: DataFrame) -> DataFrame:
     )
 
 
-def decode_spans(spliced: DataFrame, weights_bc=None) -> DataFrame:
+def decode_spans(spliced: DataFrame, weights_bc=None, tokenizer_bc=None) -> DataFrame:
     """U2+A7+W4+W3: spliced ids -> subject/object surface strings."""
     return spliced.select("conv_id", "turn_idx", "rel_id", "text", "spliced").mapInPandas(
-        _ner_decode_fn(weights_bc), schema=_DECODED_SCHEMA
+        _ner_decode_fn(weights_bc, tokenizer_bc), schema=_DECODED_SCHEMA
     )
 
 
@@ -307,7 +320,9 @@ def assemble_triples(decoded: DataFrame) -> DataFrame:
     )
 
 
-def extract_triples(transcripts: DataFrame, weights_bc=None) -> DataFrame:
+def extract_triples(
+    transcripts: DataFrame, weights_bc=None, tokenizer_bc=None
+) -> DataFrame:
     """Full pipeline: transcripts -> raw triple stream (with duplicates).
 
     Narrow end-to-end: scan -> mapInPandas -> project/explode -> mapInPandas
@@ -315,11 +330,22 @@ def extract_triples(transcripts: DataFrame, weights_bc=None) -> DataFrame:
 
     `weights_bc`: optional ``sc.broadcast(MockWeights)`` — the broadcast
     model-weights seam (None uses the built-in defaults, identical output).
+    `tokenizer_bc`: optional ``sc.broadcast(tokenizer)`` where the object
+    exposes ``encode(text, max_length) -> (ids, words)`` — the tokenizer
+    seam (None uses the built-in word-level tokenizer; a real deployment
+    broadcasts its subword vocab here, reference data_module.py:25-35).
+    Both stages consume the SAME broadcast, so scoring-time truncation and
+    decode-time span rendering can never disagree.
     """
     return assemble_triples(
         decode_spans(
-            splice_marker(select_relations(score_relations(transcripts, weights_bc))),
+            splice_marker(
+                select_relations(
+                    score_relations(transcripts, weights_bc, tokenizer_bc)
+                )
+            ),
             weights_bc,
+            tokenizer_bc,
         )
     )
 

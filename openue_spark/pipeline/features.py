@@ -29,6 +29,15 @@ row-local, label alignment is a position transform, word ids are
 crc32-hashed in the JVM (Spark `crc32` == zlib.crc32 == tokenizer.word_id).
 Zero shuffles end to end; parallelism = input partitions; SQL-expressible,
 so the driver checks it against a DuckDB oracle (`p4_gold_alignment`).
+
+Tokenizer-seam boundary: the INFERENCE pipeline accepts an injected
+tokenizer (extract.extract_triples(tokenizer_bc=...)); these TRAINING
+feature builders intentionally do not — their value is that tokenization
+itself is JVM column algebra (regexp_extract_all + crc32, whole-stage
+codegen, DuckDB-mirrorable), and an injected Python tokenizer would force
+the builder into Arrow UDFs and off the oracle. A real-vocab deployment
+regenerates training features with its own builder; parity of the served
+path is what the seam guards.
 """
 
 from __future__ import annotations

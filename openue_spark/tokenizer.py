@@ -69,3 +69,57 @@ def encode(text: str, max_length: int = MAX_SEQ_LENGTH - 2) -> tuple[list[int], 
 def encode_entity(text: str) -> list[int]:
     """Entity tokenize with add_special_tokens=False (utils.py:590-593)."""
     return [word_id(w) for w in tokenize_words(text)]
+
+
+# --- injectable tokenizer seam -------------------------------------------
+#
+# The reference registers a REAL subword tokenizer (HF bert-base-chinese
+# with [relationK] special tokens, data_module.py:25-35); this sandbox has
+# no network, so the word-level functions above are the default. The
+# pipeline and the numpy oracle both accept an injected tokenizer object
+# exposing ``encode(text, max_length) -> (ids, words)`` (broadcast to
+# executors via ``sc.broadcast`` on the Spark side, mirroring the
+# model-weights seam), so a real-vocab deployment swaps tokenizers by
+# passing one in — no edits here. Contract the `words` list carries: it is
+# the POSITION-ALIGNED surface form of ids[1:-1] (position p in a decoded
+# span renders as words[p-1]); any tokenizer honoring that renders spans
+# consistently in both engines.
+
+
+class WordTokenizer:
+    """The default word-level tokenizer as an injectable object (identical
+    output to the module-level ``encode``)."""
+
+    def encode(
+        self, text: str, max_length: int = MAX_SEQ_LENGTH - 2
+    ) -> tuple[list[int], list[str]]:
+        return encode(text, max_length)
+
+
+class SubwordTokenizer:
+    """Deterministic WordPiece-shaped tokenizer for exercising the seam
+    without network access: words split into fixed-width pieces, piece 2+
+    prefixed '##' (so piece boundaries are visible in span surface forms,
+    like real WordPiece), ids hashed into the same [VOCAB_BASE, ...) space.
+    Non-trivial on purpose — it changes sequence lengths, truncation
+    points, and span renderings, so a pipeline/oracle mismatch anywhere in
+    the tokenize -> splice -> decode chain breaks parity loudly."""
+
+    def __init__(self, piece_len: int = 3):
+        if piece_len < 1:
+            raise ValueError("piece_len must be >= 1")
+        self.piece_len = piece_len
+
+    def pieces(self, text: str) -> list[str]:
+        out: list[str] = []
+        for w in tokenize_words(text):
+            for j in range(0, len(w), self.piece_len):
+                p = w[j : j + self.piece_len]
+                out.append(p if j == 0 else "##" + p)
+        return out
+
+    def encode(
+        self, text: str, max_length: int = MAX_SEQ_LENGTH - 2
+    ) -> tuple[list[int], list[str]]:
+        ps = self.pieces(text)[: max(0, max_length - 2)]
+        return [CLS_ID] + [word_id(p) for p in ps] + [SEP_ID], ps

@@ -195,3 +195,38 @@ def test_golden_fixture_is_current():
         for r in golden.itertuples(index=False)
     )
     assert fresh == stored and sum(stored.values()) > 1000
+
+
+def test_tokenizer_seam_parity(spark, fixture_turns):
+    """Pipeline == oracle under an INJECTED non-trivial subword tokenizer
+    (the seam the reference fills with bert-base-chinese,
+    data_module.py:25-35): both sides get tokenizer.SubwordTokenizer via
+    their respective seams (broadcast / encode_fn), and the result must
+    stay an exact multiset match — proving the tokenize -> splice ->
+    decode chain has no hidden dependence on the built-in word tokenizer.
+    The injected run must also DIFFER from the word-level run (a seam that
+    changes nothing proves nothing)."""
+    from openue_spark.tokenizer import SubwordTokenizer
+
+    tok = SubwordTokenizer()
+    sub = fixture_turns.head(120)
+    rows = list(zip(sub["conv_id"], sub["turn_idx"], sub["text"]))
+    gold = Counter(
+        (t.conv_id, int(t.turn_idx), t.subj, int(t.rel_id), t.pred, t.obj)
+        for t in extract_corpus(rows, encode_fn=tok.encode)
+    )
+    assert sum(gold.values()) > 20, "subword fixture too sparse to be meaningful"
+
+    df = spark.createDataFrame(sub)
+    bc = spark.sparkContext.broadcast(tok)
+    got = Counter(
+        (r.conv_id, int(r.turn_idx), r.subj, int(r.rel_id), r.pred, r.obj)
+        for r in extract_triples(df, tokenizer_bc=bc).collect()
+    )
+    assert got == gold
+
+    word_level = Counter(
+        (r.conv_id, int(r.turn_idx), r.subj, int(r.rel_id), r.pred, r.obj)
+        for r in extract_triples(df).collect()
+    )
+    assert word_level != got
