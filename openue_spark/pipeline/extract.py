@@ -2,7 +2,18 @@
 
 Re-expresses the reference's `Inference.forward`
 (/root/reference/src/openue/models/model.py:199-393) as a declarative
-DataFrame plan. Stage mapping (SURVEY.md §2):
+DataFrame plan. Two equivalent physical forms, pinned bit-identical by
+tests/test_parity.py::test_fused_equals_staged:
+
+- FUSED (default, `extract_triples(...)`): the whole chain in ONE
+  mapInPandas pass — one Python runner per task, one Arrow round-trip,
+  tokenization shared across both model stages. Measured 3x the staged
+  wall-clock at sf0.1 (same session, same data).
+- STAGED (`fused=False`): the relational decomposition below, whose
+  intermediate stages are individually DuckDB-oracle-checked by the
+  driver contract (P5/P6/J1/U4 queries).
+
+Staged stage mapping (SURVEY.md §2):
 
   P1/P2  lowercase + tokenize      -> mapInPandas (Arrow batches)
   U1     SEQ relation scoring      -> same mapInPandas pass (one Arrow trip)
@@ -238,6 +249,143 @@ def _ner_decode_batches(
         )
 
 
+_TRIPLE_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("subj", T.StringType()),
+        T.StructField("rel_id", T.IntegerType()),
+        T.StructField("pred", T.StringType()),
+        T.StructField("obj", T.StringType()),
+    ]
+)
+
+
+def _fused_extract_fn(weights_bc=None, tokenizer_bc=None):
+    """The ENTIRE two-stage interaction pipeline in ONE Arrow pass:
+    tokenize -> SEQ forward -> threshold/fallback select (P5/P6) ->
+    fan-out (J1) -> splice (U4) -> NER forward -> slice/decode (W4/W3) ->
+    cartesian assemble (J3), emitting final triple rows.
+
+    Why fuse (vs the staged plan kept in `extract_triples_staged`):
+    - one Python runner per task instead of two chained ones — local[K]
+      stops driving ~2K Python workers (the oversubscription documented in
+      scripts/scaling.py), and a real cluster halves its Python-worker
+      memory footprint;
+    - one Arrow round-trip instead of two — the staged path re-serializes
+      ids+text+probs out and spliced+text back in across the JVM boundary
+      for every fanned-out row;
+    - stage 2 reuses stage 1's in-memory ids/words — the staged decode
+      must RE-TOKENIZE every fanned-out row's text to rebuild span words.
+
+    Semantics are pinned bit-identical to the staged plan by
+    tests/test_parity.py (fused == staged == numpy oracle on the same
+    corpus) and by the driver's extract_diff_vs_golden row. The staged
+    stages remain the oracle-checked relational decomposition (P5/P6/J1/U4
+    each have standalone DuckDB-checked contract queries over the driver
+    tables, independent of this fusion).
+    """
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = weights_bc.value if weights_bc is not None else None
+        enc = tokenizer_bc.value.encode if tokenizer_bc is not None else encode
+        max_len = MAX_SEQ_LENGTH - 2
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame(
+                    {
+                        "conv_id": pd.Series(dtype=object),
+                        "turn_idx": pd.array([], dtype="int32"),
+                        "subj": pd.Series(dtype=object),
+                        "rel_id": pd.array([], dtype="int32"),
+                        "pred": pd.Series(dtype=object),
+                        "obj": pd.Series(dtype=object),
+                    }
+                )
+                continue
+            texts = pdf["text"].to_numpy()
+            conv_arr = pdf["conv_id"].to_numpy()
+            turn_arr = pdf["turn_idx"].to_numpy()
+            # P1/P2/U1: tokenize once, score the whole batch
+            ids_col: list[list[int]] = []
+            words_col: list[list[str]] = []
+            max_l = 0
+            for text in texts:
+                ids, words = enc(text, max_len)
+                ids_col.append(ids)
+                words_col.append(words)
+                if len(ids) > max_l:
+                    max_l = len(ids)
+            padded = np.zeros((n, max_l), dtype=np.uint64)
+            for i, ids in enumerate(ids_col):
+                padded[i, : len(ids)] = ids
+            probs = seq_probs_batch(poly_hash_batch(padded), weights=weights)
+            # P5 strict threshold + P6 FIRST-argmax fallback (model.py:227-233)
+            selected = probs > SIGMOID_THRESHOLD
+            none_sel = ~selected.any(axis=1)
+            if none_sel.any():
+                selected[none_sel, np.argmax(probs[none_sel], axis=1)] = True
+            # J1 fan-out in ascending rel order (np.nonzero is row-major)
+            rows, rels = np.nonzero(selected)
+            m = len(rows)
+            # U4 splice: ids + [relationK, SEP]; W4 bound = len(ids) - 1
+            sp_max = max_l + 2
+            sp = np.zeros((m, sp_max), dtype=np.uint64)
+            lengths = np.zeros(m, dtype=np.int64)
+            for j in range(m):
+                ids = ids_col[rows[j]]
+                li = len(ids)
+                sp[j, :li] = ids
+                sp[j, li] = REL_TOKEN_BASE + rels[j]
+                sp[j, li + 1] = SEP_ID
+                lengths[j] = li - 1
+            # U2/A7 + W3 over the fan-out
+            tags_mat = ner_tags_batch(sp, rels, weights=weights)
+            frow, starts, ends, types = _decode_spans_batch(tags_mat, lengths)
+            subj_spans: list[list[str]] = [[] for _ in range(m)]
+            obj_spans: list[list[str]] = [[] for _ in range(m)]
+            for r, s, e, t in zip(frow, starts, ends, types):
+                words = words_col[rows[r]]
+                (subj_spans if t == _TAG_BSUB else obj_spans)[r].append(
+                    span_text((s, e), words)
+                )
+            # J3 cartesian per fan-out row, only when both sides non-empty
+            out_conv: list = []
+            out_turn: list = []
+            out_subj: list = []
+            out_rel: list = []
+            out_pred: list = []
+            out_obj: list = []
+            for j in range(m):
+                subs, objs = subj_spans[j], obj_spans[j]
+                if not subs or not objs:
+                    continue
+                i = rows[j]
+                k = int(rels[j])
+                pred = PREDICATES[k]
+                for s_txt in subs:
+                    for o_txt in objs:
+                        out_conv.append(conv_arr[i])
+                        out_turn.append(turn_arr[i])
+                        out_subj.append(s_txt)
+                        out_rel.append(k)
+                        out_pred.append(pred)
+                        out_obj.append(o_txt)
+            yield pd.DataFrame(
+                {
+                    "conv_id": out_conv,
+                    "turn_idx": pd.array(out_turn, dtype="int32"),
+                    "subj": out_subj,
+                    "rel_id": pd.array(out_rel, dtype="int32"),
+                    "pred": out_pred,
+                    "obj": out_obj,
+                }
+            )
+
+    return gen
+
+
 def score_relations(
     transcripts: DataFrame, weights_bc=None, tokenizer_bc=None
 ) -> DataFrame:
@@ -321,12 +469,18 @@ def assemble_triples(decoded: DataFrame) -> DataFrame:
 
 
 def extract_triples(
-    transcripts: DataFrame, weights_bc=None, tokenizer_bc=None
+    transcripts: DataFrame, weights_bc=None, tokenizer_bc=None, fused: bool = True
 ) -> DataFrame:
     """Full pipeline: transcripts -> raw triple stream (with duplicates).
 
-    Narrow end-to-end: scan -> mapInPandas -> project/explode -> mapInPandas
-    -> explode x2. Zero shuffles; parallelism = input partitions.
+    Narrow end-to-end and zero-shuffle either way; parallelism = input
+    partitions. ``fused=True`` (default, the production path) runs the
+    whole chain in ONE mapInPandas pass (see `_fused_extract_fn` for why:
+    one Python runner per task, one Arrow round-trip, tokenization reused
+    across stages); ``fused=False`` composes the staged relational plan
+    (scan -> mapInPandas -> project/explode -> mapInPandas -> explode x2)
+    whose intermediate stages are individually oracle-checked. The two
+    paths are pinned bit-identical by tests/test_parity.py.
 
     `weights_bc`: optional ``sc.broadcast(MockWeights)`` — the broadcast
     model-weights seam (None uses the built-in defaults, identical output).
@@ -337,6 +491,11 @@ def extract_triples(
     Both stages consume the SAME broadcast, so scoring-time truncation and
     decode-time span rendering can never disagree.
     """
+    if fused:
+        cols = [c for c in ("conv_id", "turn_idx", "text") if c in transcripts.columns]
+        return transcripts.select(*cols).mapInPandas(
+            _fused_extract_fn(weights_bc, tokenizer_bc), schema=_TRIPLE_SCHEMA
+        )
     return assemble_triples(
         decode_spans(
             splice_marker(

@@ -61,6 +61,7 @@ def test_missing_checkpoint_raises(spark, tmp_path):
         read_best_checkpoint(spark, str(tmp_path / "nowhere"))
 
 
+@pytest.mark.slow
 def test_job_extracts_with_persisted_checkpoint(spark, tmp_path):
     """--weights-from loads the best persisted bundle and it really drives
     extraction: permissive weights must yield more triples than default."""
@@ -86,6 +87,7 @@ def test_job_extracts_with_persisted_checkpoint(spark, tmp_path):
     assert n_permissive > n_default
 
 
+@pytest.mark.slow
 def test_job_writes_config_and_checkpoint(spark, tmp_path):
     """The spark-submit entry point records run_config + deployed weights."""
     from openue_spark.job import main

@@ -2,6 +2,8 @@
 
 import os
 
+import pytest
+
 from pyspark.sql import functions as F
 
 
@@ -23,6 +25,7 @@ def test_job_main_synthesize_no_link(spark, tmp_path):
     assert len(preds) > 1
 
 
+@pytest.mark.slow
 def test_job_main_input_path_resumes(spark, tmp_path):
     """Re-running over the same --out is a no-op resume (manifest-driven)."""
     from openue_spark.fixtures import transcripts_spark
@@ -39,6 +42,7 @@ def test_job_main_input_path_resumes(spark, tmp_path):
     assert spark.read.parquet(f"{out}/manifest").count() == m1  # nothing re-ran
 
 
+@pytest.mark.slow
 def test_job_incremental_fold_equals_full_run(spark, tmp_path):
     """Full run over [0, 3000) + --increment fold of [3000, 4500) must yield
     the SAME graph table (rows, support counts, provenance) as one full run

@@ -349,6 +349,7 @@ def test_mention_state_matches_recomputed_features(spark, triples_df):
     assert sh_state == sh_re
 
 
+@pytest.mark.slow
 def test_increment_with_stored_state_equals_recompute(spark):
     """Feeding the persisted mention_state must not change the fold result
     (features are pure functions of the mention string)."""
@@ -381,6 +382,7 @@ def test_increment_with_stored_state_equals_recompute(spark):
     assert with_state == without == full
 
 
+@pytest.mark.slow
 def test_increment_fresh_incident_cap(spark):
     """The fold's fresh-incident hot-bucket cap: with a generous cap (no
     bucket exceeds it) the result equals the uncapped fold; with cap=1

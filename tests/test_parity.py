@@ -230,3 +230,14 @@ def test_tokenizer_seam_parity(spark, fixture_turns):
         for r in extract_triples(df).collect()
     )
     assert word_level != got
+
+
+def test_fused_equals_staged(spark, fixture_turns):
+    """The one-pass fused production path and the staged relational
+    decomposition must emit the identical triple multiset (the staged
+    stages are the oracle-checked reference decomposition; the fused path
+    is the throughput path — neither may drift)."""
+    df = spark.createDataFrame(fixture_turns)
+    fused = Counter(tuple(r) for r in extract_triples(df).collect())
+    staged = Counter(tuple(r) for r in extract_triples(df, fused=False).collect())
+    assert fused == staged and sum(fused.values()) > 50

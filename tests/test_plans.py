@@ -1,0 +1,83 @@
+"""Mechanical pins for the PLANS.md physical-plan claims.
+
+These assert on the PLANNED (pre-execution) physical plan string, so they
+are cheap — no job runs — and they turn the scale-critical plan shapes
+into regressions a test can catch: the zero-shuffle extraction DAG, scan
+pushdown, and join strategies free of nested-loop blowups.
+"""
+
+import pytest
+
+from openue_spark.fixtures import transcripts_pandas
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_extraction_plan_is_zero_shuffle(spark):
+    """PLANS.md section 1: NO Exchange anywhere in either extraction plan —
+    parallelism rides input partitions, so the same plan fans out across
+    1000 executors with no coordination. The fused production path is ONE
+    Python stage (one runner per task); the staged decomposition is two."""
+    from openue_spark.pipeline import extract_triples
+
+    df = spark.createDataFrame(transcripts_pandas(64))
+    fused = _plan(extract_triples(df))
+    assert "Exchange" not in fused, fused
+    assert fused.count("MapInPandas") == 1  # one fused model stage
+    staged = _plan(extract_triples(df, fused=False))
+    assert "Exchange" not in staged, staged
+    assert staged.count("MapInPandas") == 2  # the two model stages
+
+
+def test_serving_plan_is_zero_shuffle(spark):
+    """Serving wraps the same narrow plan — the rename/projection must not
+    introduce a shuffle."""
+    from openue_spark.serving import score_requests
+
+    req = spark.createDataFrame(
+        [("r0", "some text")], "request_id string, text string"
+    )
+    plan = _plan(score_requests(req))
+    assert "Exchange" not in plan, plan
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    """p5-style predicate + projection: the scan must carry PushedFilters
+    for `value` and read only the selected columns (column pruning)."""
+    from openue_spark import contract
+
+    plan = _plan(contract.q_p5_threshold(spark, SF_DIR))
+    assert "PushedFilters: [IsNotNull(value), GreaterThan(value,150.0)" in plan, plan
+    # ReadSchema lists only the projected columns, not the whole table
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "event_type" not in read_schema and "ts" not in read_schema, read_schema
+
+
+def test_negative_sampling_plan_has_no_loop_joins(spark):
+    """PLANS.md section 14: the rank-mod sampler is equi-joins + one
+    bounded window — no CartesianProduct / BroadcastNestedLoopJoin may
+    appear at ANY vocabulary size (those are the shapes that made the
+    rendezvous variant unscalable)."""
+    from openue_spark.ops.kg import negative_samples
+
+    rows = [(f"h{i}", "rel", f"t{i % 7}") for i in range(64)]
+    df = spark.createDataFrame(rows, "subj string, pred string, obj string")
+    plan = _plan(negative_samples(df, k=2, bucket_hex=1))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_dedup_groupby_is_partial_aggregated(spark):
+    """The triple-table dedup (first shuffle of the job) must partial-
+    aggregate map-side: two HashAggregate nodes around one Exchange, so
+    the shuffle moves combined groups, not raw triples."""
+    from openue_spark.pipeline import extract_triples, triple_table
+
+    df = spark.createDataFrame(transcripts_pandas(64))
+    plan = _plan(triple_table(extract_triples(df)))
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "partial_count" in plan or "partial" in plan, plan

@@ -194,6 +194,7 @@ def test_streaming_windowed_rates_equal_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slow
 def test_stream_fold_sink_continuous_kg_maintenance(spark, tmp_path):
     """Micro-batches folded into a persisted KG must reproduce the graph a
     single full batch run builds over the union corpus, and replayed
@@ -239,6 +240,7 @@ def test_stream_fold_sink_continuous_kg_maintenance(spark, tmp_path):
     assert graph_rows(kg) == folded
 
 
+@pytest.mark.slow
 def test_stream_fold_new_data_under_recycled_batch_ids(spark, tmp_path):
     """Epoch ids restart at 0 under a new checkpoint; a batch carrying NEW
     turns must still fold (the manifest keys on content fingerprint too,
