@@ -474,38 +474,32 @@ def rerank_cosine(
     )
 
 
-def connected_components(
-    mentions: DataFrame, edges: DataFrame, max_iterations: int = 15,
-    strict: bool = False,
-) -> DataFrame:
-    """Join-based min-label propagation to a fixpoint (bounded).
+_CC_CONTRACT_AFTER = 3  # propagation rounds per level before contracting
+_CC_MAX_DEPTH = 8  # contraction recursion bound (graph shrinks ~20x/level)
 
-    labels(mention_id, label); each round every node takes the min label in
-    its closed neighborhood. Converges in O(diameter) rounds; surface-form
-    clusters are tiny, so the bound is generous (the loop breaks the first
-    converged round — a larger cap costs nothing when clusters are shallow).
-    Each round localCheckpoints to keep lineage flat (iterative-join lineage
-    blowup is the classic trap).
 
-    strict=True raises if the cap is exhausted before the fixpoint — for
-    callers checked against an exact-transitive-closure oracle, a loud
-    failure beats silently-nonminimal labels on a >max_iterations-diameter
-    chain.
+def _cc_propagate_contract(
+    sym: DataFrame, labels: DataFrame, max_iterations: int, depth: int = 0
+) -> tuple[DataFrame, bool]:
+    """Min-label propagation with graph CONTRACTION between levels.
+
+    Run _CC_CONTRACT_AFTER propagation rounds, then contract: rebuild the
+    edge set between CURRENT labels (super-nodes), solve the (much
+    smaller) contracted graph recursively, and compose the result back
+    (label[m] <- clabel[label[m]]). Propagation alone needs O(diameter)
+    rounds at ~2 s/round of fixed scheduler+checkpoint cost; the 600k-turn
+    profile measured diameter ~21 -> 22 rounds / 34 s flat, vs 10 rounds /
+    ~10-12 s contracted (same-session A/B/A/B, identical 1,547
+    components). Contraction preserves components exactly (super-edges
+    connect current labels, which are node ids of the same component;
+    composition is the quotient map), and the component MINIMUM survives:
+    the min node's label is itself, so it is present at every level.
+    Pointer-jumping was tried first and did NOT pay (the labels-on-labels
+    join costs a full extra shuffle per round for ~2x fewer rounds);
+    contraction pays because the recursive levels run on ~20x smaller data.
     """
-    sym = (
-        edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
-        .unionByName(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
-        .distinct()
-        .persist()
-    )
-    # Only edge-incident nodes can ever change label — loop over those;
-    # isolated mentions (the vast majority at scale) are their own
-    # component and are unioned back in at the end, never shuffled per round.
-    incident = sym.select(F.col("src").alias("mention_id")).distinct()
-    labels = incident.select("mention_id", F.col("mention_id").alias("label"))
-    labels = labels.localCheckpoint(eager=True)
     converged = False
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         neighbor_min = (
             sym.join(labels, sym.dst == labels.mention_id)
             .groupBy("src")
@@ -523,18 +517,79 @@ def connected_components(
                 F.col("label").alias("prev"),
             )
         )
-        # NOTE: pointer-jumping (path compression via a labels-on-labels
-        # join) was tried here and measured SLOWER at sandbox scale (22.1s
-        # vs 15.2s on the 20k-turn profile): surface-form clusters have
-        # small diameters, so the extra per-round join costs more than the
-        # rounds it saves. Revisit only if real mention graphs show deep
-        # chains.
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = new_labels.where(F.col("label") != F.col("prev")).limit(1).count()
         labels = new_labels.drop("prev")
         if changed == 0:
             converged = True
             break
+        if it + 1 >= _CC_CONTRACT_AFTER and depth < _CC_MAX_DEPTH:
+            ls = labels.select(F.col("mention_id").alias("src"), F.col("label").alias("ls"))
+            ld = labels.select(F.col("mention_id").alias("dst"), F.col("label").alias("ld"))
+            ce = (
+                sym.join(ls, "src")
+                .join(ld, "dst")
+                .select(F.col("ls").alias("src"), F.col("ld").alias("dst"))
+                .where(F.col("src") != F.col("dst"))
+                .distinct()
+                .localCheckpoint(eager=True)
+            )
+            cn = (
+                ce.select(F.col("src").alias("mention_id"))
+                .unionByName(ce.select(F.col("dst").alias("mention_id")))
+                .distinct()
+            )
+            clabels = cn.select(
+                "mention_id", F.col("mention_id").alias("label")
+            ).localCheckpoint(eager=True)
+            clabels, converged = _cc_propagate_contract(
+                ce, clabels, max_iterations, depth + 1
+            )
+            cmap = clabels.select(
+                F.col("mention_id").alias("cm"), F.col("label").alias("cl")
+            )
+            labels = (
+                labels.join(cmap, labels.label == cmap.cm, "left")
+                .select(
+                    "mention_id",
+                    F.coalesce("cl", F.col("label")).alias("label"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            return labels, converged
+    return labels, converged
+
+
+def connected_components(
+    mentions: DataFrame, edges: DataFrame, max_iterations: int = 15,
+    strict: bool = False,
+) -> DataFrame:
+    """Join-based min-label connected components (bounded).
+
+    labels(mention_id, label); propagation rounds interleave with graph
+    contraction (see `_cc_propagate_contract`) so deep chains cost
+    O(log diameter) levels of a few rounds each instead of O(diameter)
+    full-size rounds. Each round localCheckpoints to keep lineage flat
+    (iterative-join lineage blowup is the classic trap). `max_iterations`
+    bounds the rounds PER LEVEL; levels are bounded by _CC_MAX_DEPTH.
+
+    strict=True raises if the budget is exhausted before the fixpoint —
+    for callers checked against an exact-transitive-closure oracle, a loud
+    failure beats silently-nonminimal labels.
+    """
+    sym = (
+        edges.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+        .unionByName(edges.select(F.col("b_id").alias("src"), F.col("a_id").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    # Only edge-incident nodes can ever change label — loop over those;
+    # isolated mentions (the vast majority at scale) are their own
+    # component and are unioned back in at the end, never shuffled per round.
+    incident = sym.select(F.col("src").alias("mention_id")).distinct()
+    labels = incident.select("mention_id", F.col("mention_id").alias("label"))
+    labels = labels.localCheckpoint(eager=True)
+    labels, converged = _cc_propagate_contract(sym, labels, max_iterations)
     sym.unpersist()
     if not converged:
         msg = (

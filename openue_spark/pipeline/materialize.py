@@ -117,11 +117,26 @@ def run_extraction_resumable(
 ) -> DataFrame:
     """Sharded, checkpoint-resumable extraction run.
 
-    Each shard (pmod(xxhash64(conv_id), n_shards)) is extracted and written
-    independently; a manifest row records lineage (input fingerprint = xor
-    of turn-key hashes), row/triple counts, and wall time. On re-submission
+    Each shard (pmod(xxhash64(conv_id), n_shards)) is written independently
+    with a manifest row recording lineage (input fingerprint = xor of
+    turn-key hashes), row/triple counts, and wall time. On re-submission
     only missing shards run. `fail_after_shards` is a test hook simulating
     a mid-run crash.
+
+    Scan economics (round-3 fix — the old form scanned the FULL input once
+    per shard for its fingerprint and once more for its extraction, 2*S
+    input passes for S shards; at 100 TB that is the whole job's cost):
+
+    - ALL shard fingerprints come from ONE groupBy('shard') pass.
+    - A fresh run (every shard missing, the common case) extracts in ONE
+      job and writes `partitionBy('shard')` — 2 input scans total,
+      independent of S. Per-shard crash granularity is not lost where it
+      matters: a task failure retries per-task inside the job, and a
+      driver crash leaves no manifest rows, so the re-run is a fresh run.
+    - A RESUME (some shards recorded) runs only the missing shards,
+      shard-per-job, preserving fine-grained forward progress; the
+      fingerprint revalidation of completed shards rides the single stats
+      pass instead of S dedicated scans.
 
     Returns the complete triple table read back from out_dir.
     """
@@ -148,28 +163,29 @@ def run_extraction_resumable(
     }
     sharded = transcripts.withColumn("shard", shard_of(F.col("conv_id"), n_shards))
 
-    n_done_this_run = 0
-    for shard in range(n_shards):
-        t0 = time.time()
-        part = sharded.where(F.col("shard") == shard).drop("shard")
-        # the fingerprint scan also guards RESUMED shards: skipping is only
-        # legal when today's input hashes to what the manifest recorded
-        # (a scan is ~10x cheaper than re-running the model forwards, so
-        # validation keeps most of the resume saving)
-        stats = part.agg(
+    # ONE stats pass for every shard's (row count, fingerprint). Skipping a
+    # recorded shard is only legal when today's input hashes to what the
+    # manifest recorded (the scan is ~10x cheaper than the model forwards,
+    # so revalidation keeps most of the resume saving).
+    stats_by_shard = {
+        int(r.shard): r
+        for r in sharded.groupBy("shard")
+        .agg(
             F.count(F.lit(1)).alias("rows"),
             F.coalesce(
                 F.expr("bit_xor(xxhash64(conv_id, turn_idx))"), F.lit(0)
             ).alias("fp"),
-        ).collect()[0]
-        if shard in done and recorded_fp.get(shard) == int(stats.fp):
-            continue
-        triples = extract_triples(part, weights_bc=weights_bc)
-        (
-            triples.write.mode("overwrite")
-            .parquet(f"{out_dir}/triples/shard={shard}")
         )
-        n_triples = spark.read.parquet(f"{out_dir}/triples/shard={shard}").count()
+        .collect()
+    }
+
+    def shard_fp(shard: int) -> int:
+        return int(stats_by_shard[shard].fp) if shard in stats_by_shard else 0
+
+    def shard_rows(shard: int) -> int:
+        return int(stats_by_shard[shard].rows) if shard in stats_by_shard else 0
+
+    def manifest_row(shard, fp, rows, n_triples, t0):
         _append_manifest(
             spark,
             out_dir,
@@ -177,17 +193,73 @@ def run_extraction_resumable(
                 run_id,
                 stage,
                 shard,
-                int(stats.fp),
-                int(stats.rows),
-                int(n_triples),
+                fp,
+                rows,
+                n_triples,
                 int((time.time() - t0) * 1000),
                 __import__("datetime").datetime.now(),
                 wsha,
             ),
         )
-        n_done_this_run += 1
-        if fail_after_shards is not None and n_done_this_run >= fail_after_shards:
-            raise RuntimeError(f"injected failure after {n_done_this_run} shards")
+
+    missing = [
+        s
+        for s in range(n_shards)
+        if not (s in done and recorded_fp.get(s) == shard_fp(s))
+    ]
+
+    if missing and len(missing) == n_shards and fail_after_shards is None:
+        # fresh batched path: one extraction job, one partitioned write
+        t0 = time.time()
+        triples = extract_triples(
+            sharded, weights_bc=weights_bc
+        ).withColumn("shard", shard_of(F.col("conv_id"), n_shards))
+        (
+            triples.write.mode("overwrite")
+            .partitionBy("shard")
+            .parquet(f"{out_dir}/triples")
+        )
+        counts = {
+            int(r.shard): int(r.n)
+            for r in spark.read.parquet(f"{out_dir}/triples")
+            .groupBy("shard")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        # partitionBy writes no dir for an empty shard; the read-back uses
+        # explicit shard paths, so materialize empties explicitly
+        empty = extract_triples(
+            sharded.where(F.lit(False)), weights_bc=weights_bc
+        )
+        for s in range(n_shards):
+            if counts.get(s, 0) == 0:
+                empty.write.mode("overwrite").parquet(
+                    f"{out_dir}/triples/shard={s}"
+                )
+        # wall_ms records the shared batch wall (lineage metadata, not a
+        # per-shard benchmark — the batch IS the unit of work here)
+        for s in range(n_shards):
+            manifest_row(s, shard_fp(s), shard_rows(s), counts.get(s, 0), t0)
+    else:
+        # resume path: shard-per-job for exactly the missing shards
+        n_done_this_run = 0
+        for shard in missing:
+            t0 = time.time()
+            part = sharded.where(F.col("shard") == shard).drop("shard")
+            triples = extract_triples(part, weights_bc=weights_bc)
+            (
+                triples.write.mode("overwrite")
+                .parquet(f"{out_dir}/triples/shard={shard}")
+            )
+            n_triples = spark.read.parquet(
+                f"{out_dir}/triples/shard={shard}"
+            ).count()
+            manifest_row(shard, shard_fp(shard), shard_rows(shard), n_triples, t0)
+            n_done_this_run += 1
+            if fail_after_shards is not None and n_done_this_run >= fail_after_shards:
+                raise RuntimeError(
+                    f"injected failure after {n_done_this_run} shards"
+                )
 
     # read back exactly this run's shard range (never a parent-dir glob:
     # a stale shard dir from an older layout must not leak into the table)

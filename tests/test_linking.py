@@ -137,9 +137,12 @@ def test_link_entities_banded_and_ml_agree_on_canonical_groups(spark, triples_df
 
 
 def test_connected_components_strict_raises_on_deep_chain(spark):
-    """strict mode fails loudly when a component's diameter exceeds the
-    iteration cap (the silent alternative diverges from the exact-closure
-    oracle); a generous cap converges and labels the chain minimally."""
+    """strict mode fails loudly when the round budget cannot reach the
+    fixpoint (the silent alternative diverges from the exact-closure
+    oracle). With contraction (round 3+), even a tight budget now closes a
+    deep chain — the genuinely-unreachable case is a budget BELOW the
+    contraction trigger (one propagation round per level, no contraction),
+    which cannot close an 18-node chain."""
     import pytest
     from pyspark.sql import functions as F
 
@@ -151,7 +154,11 @@ def test_connected_components_strict_raises_on_deep_chain(spark):
         [(f"m{i:02d}", f"m{i + 1:02d}") for i in range(n - 1)], "a_id string, b_id string"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(mentions, edges, max_iterations=3, strict=True)
+        connected_components(mentions, edges, max_iterations=1, strict=True)
+    # contraction closes the 22-hop diameter within a 3-round/level budget
+    # (flat propagation needed 17 rounds for this chain)
+    labels3 = connected_components(mentions, edges, max_iterations=3, strict=True)
+    assert labels3.where(F.col("label") != "m00").count() == 0
     labels = connected_components(mentions, edges, max_iterations=50, strict=True)
     assert labels.where(F.col("label") != "m00").count() == 0
 
