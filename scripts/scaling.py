@@ -9,11 +9,13 @@ Methodology (why each point is CPU-PINNED with taskset):
 - "N executors vs 4N executors" is a HARDWARE boundary: 4N executors bring
   4x the cores/LLC/memory bandwidth. A bare local[K] run does not emulate
   that boundary faithfully, because Spark's task-slot count does not bound
-  CPU use — the extraction stage chains two mapInPandas runners per task,
-  so local[K] drives up to ~2K Python workers plus JVM threads. Measured on
-  this 32-core host: local[2] burns ~5 cores, local[8] ~14, local[32]
-  oversubscribes ~2x and per-core throughput collapses. Slot-count ratios
-  therefore under- or over-state true hardware scaling.
+  CPU use — Python workers plus JVM threads exceed K. (Under the original
+  STAGED extraction this was extreme: two chained mapInPandas runners per
+  task drove ~2K Python workers — local[2] burned ~5 cores, local[8] ~14,
+  local[32] oversubscribed ~2x. The round-3 FUSED plan runs one runner per
+  task, halving that pressure — and the pinned per-point throughput
+  roughly doubled when it landed — but JVM+worker still exceeds K.)
+  Slot-count ratios therefore under- or over-state true hardware scaling.
 - Fix: pin each measurement point to EXACTLY its core budget
   (`taskset -c 0..N-1` around the whole JVM+workers tree), i.e. "one
   executor with N cores" vs "4x the cores". Any intra-point

@@ -241,3 +241,41 @@ def test_fused_equals_staged(spark, fixture_turns):
     fused = Counter(tuple(r) for r in extract_triples(df).collect())
     staged = Counter(tuple(r) for r in extract_triples(df, fused=False).collect())
     assert fused == staged and sum(fused.values()) > 50
+
+
+def test_adversarial_texts_parity_and_empty_input(spark):
+    """Edge-of-input probes through the REAL pipeline vs the oracle: empty
+    text, whitespace-only, unicode/emoji/CJK, a 10k-char single token, a
+    5k-token sentence (truncation bound), punctuation-only. Both physical
+    forms must match the oracle EXACTLY on every one, and an empty input
+    DataFrame must yield an empty result with the exact triple schema."""
+    texts = [
+        "",
+        "   \t  \n ",
+        "café naïve über straße",
+        "\U0001f600 \U0001f680 hello \U0001f409",
+        "北京 是 中国 的 首都",
+        "x" * 10_000,
+        " ".join(f"tok{i}" for i in range(5_000)),
+        "... !!! ??? ;;; ,,,",
+        "ent001 ent002 ent003",
+    ]
+    rows = [(f"adv-{i}", i, t) for i, t in enumerate(texts)]
+    gold = Counter(
+        (t.conv_id, int(t.turn_idx), t.subj, int(t.rel_id), t.pred, t.obj)
+        for t in extract_corpus(rows)
+    )
+    df = spark.createDataFrame(rows, "conv_id string, turn_idx int, text string")
+    for fused in (True, False):
+        got = Counter(
+            (r.conv_id, int(r.turn_idx), r.subj, int(r.rel_id), r.pred, r.obj)
+            for r in extract_triples(df, fused=fused).collect()
+        )
+        assert got == gold, f"fused={fused} diverged on adversarial inputs"
+
+    empty = spark.createDataFrame([], "conv_id string, turn_idx int, text string")
+    out = extract_triples(empty)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "conv_id", "turn_idx", "subj", "rel_id", "pred", "obj",
+    ]
