@@ -237,9 +237,29 @@ def run_extraction_resumable(
                     f"{out_dir}/triples/shard={s}"
                 )
         # wall_ms records the shared batch wall (lineage metadata, not a
-        # per-shard benchmark — the batch IS the unit of work here)
-        for s in range(n_shards):
-            manifest_row(s, shard_fp(s), shard_rows(s), counts.get(s, 0), t0)
+        # per-shard benchmark — the batch IS the unit of work here). ONE
+        # append of all shard rows: per-shard appends are S tiny write
+        # jobs of pure overhead, and the batch commits atomically anyway —
+        # partial manifests only make sense on the shard-per-job path.
+        wall_ms = int((time.time() - t0) * 1000)
+        now = __import__("datetime").datetime.now()
+        rows = [
+            (
+                run_id,
+                stage,
+                s,
+                shard_fp(s),
+                shard_rows(s),
+                counts.get(s, 0),
+                wall_ms,
+                now,
+                wsha,
+            )
+            for s in range(n_shards)
+        ]
+        spark.createDataFrame(rows, MANIFEST_SCHEMA).write.mode("append").parquet(
+            f"{out_dir}/manifest"
+        )
     else:
         # resume path: shard-per-job for exactly the missing shards
         n_done_this_run = 0
