@@ -48,7 +48,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     the session is left running (the caller owns its lifecycle)."""
     parser = argparse.ArgumentParser(description="OpenUE-on-Spark KG construction job")
     src = parser.add_mutually_exclusive_group(required=True)
-    src.add_argument("--input", help="parquet dir of transcripts (conv_id, turn_idx, role, text, tool, ts)")
+    src.add_argument("--input", help="transcripts source (conv_id, turn_idx, role, text, tool, ts): a parquet dir, or with --format table an Iceberg/catalog table name")
     src.add_argument("--synthesize", type=int, help="synthesize N deterministic transcript turns")
     parser.add_argument(
         "--synthesize-offset", type=int, default=0,
@@ -70,6 +70,13 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "--max-bucket", default="256",
         help="LSH hot-bucket cap for linking; 'none' disables it (the"
         " increment-equals-full-recompute exactness regime)",
+    )
+    parser.add_argument(
+        "--format", default="parquet",
+        help="--input format: 'parquet' (path scan, default), 'table' (a"
+        " catalog table name — the Iceberg path, with the runtime jar +"
+        " catalog conf supplied via spark-submit --packages/--conf), or any"
+        " spark read format",
     )
     parser.add_argument(
         "--weights-from",
@@ -138,7 +145,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
     weights_bc = spark.sparkContext.broadcast(weights)
     if args.input:
-        transcripts = spark.read.parquet(args.input)
+        from openue_spark.sources import read_transcripts
+
+        transcripts = read_transcripts(spark, args.input, fmt=args.format)
     else:
         transcripts = transcripts_spark(
             spark, args.synthesize, offset=args.synthesize_offset

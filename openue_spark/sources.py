@@ -124,9 +124,45 @@ def read_rel2id_json(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def read_transcripts(spark: SparkSession, path: str) -> DataFrame:
-    """Schema-enforced transcript-table scan (BASELINE.json input_hint)."""
-    return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(path)
+def read_transcripts(
+    spark: SparkSession, source: str, fmt: str = "parquet"
+) -> DataFrame:
+    """Schema-enforced transcript-table scan (BASELINE.json input_hint).
+
+    `fmt` is the table-format seam: the north rule's corpus lives in an
+    Iceberg table, but the sandbox ships no Iceberg runtime jar, so parquet
+    paths are the default and the Iceberg path is the catalog-table branch
+    (tests exercise it through a temp view — `spark.read.table` resolves
+    both):
+
+    - ``"parquet"``: path scan with the contract schema enforced at the
+      reader (column pruning + predicate pushdown reach the scan).
+    - ``"table"``: `source` is a catalog table/view name — e.g. an Iceberg
+      table `catalog.db.transcripts` once spark-submit ships
+      ``--packages org.apache.iceberg:iceberg-spark-runtime-*`` and the
+      catalog conf. Iceberg's partition pruning/metadata filtering applies
+      below this reader; columns are selected and cast to the contract
+      schema so everything downstream is format-agnostic.
+    - anything else: ``spark.read.format(fmt).load(source)`` (delta, orc...).
+
+    The ``ts`` column is deliberately NOT cast: parquet written by this
+    driver reads back as TIMESTAMP_NTZ under Spark 4 and a cast to TZ would
+    shift wall-clock values; `ops.temporal.epoch_us` handles both flavors.
+    """
+    if fmt == "parquet":
+        return spark.read.schema(TRANSCRIPT_SCHEMA).parquet(source)
+    df = (
+        spark.read.table(source)
+        if fmt == "table"
+        else spark.read.format(fmt).load(source)
+    )
+    cols = [
+        F.col(f.name).alias(f.name)
+        if f.name == "ts"
+        else F.col(f.name).cast(f.dataType).alias(f.name)
+        for f in TRANSCRIPT_SCHEMA.fields
+    ]
+    return df.select(*cols)
 
 
 def with_stable_text_id(transcripts: DataFrame) -> DataFrame:

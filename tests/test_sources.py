@@ -75,3 +75,23 @@ def test_read_transcripts_schema_and_stable_order(spark, tmp_path):
     keys = [(r.conv_id, r.turn_idx) for r in ordered]
     assert keys == sorted(keys)
     assert [r.text_id for r in ordered] == list(range(len(ordered)))
+
+
+def test_read_transcripts_table_format(spark, tmp_path):
+    """The Iceberg/catalog seam: fmt='table' resolves a table name through
+    the session catalog (an Iceberg table once the runtime jar + catalog
+    conf are on spark-submit; a temp view here — spark.read.table resolves
+    both) and normalizes columns to the contract schema."""
+    from openue_spark.fixtures import transcripts_spark
+    from openue_spark.sources import read_transcripts
+
+    path = str(tmp_path / "turns")
+    transcripts_spark(spark, 200, partitions=2).write.parquet(path)
+    # extra column + shuffled column order: the seam must project+normalize
+    raw = spark.read.parquet(path)
+    raw.selectExpr("ts", "tool", "text", "role", "turn_idx", "conv_id", "1 as junk") \
+        .createOrReplaceTempView("transcripts_v")
+    t = read_transcripts(spark, "transcripts_v", fmt="table")
+    assert [f.name for f in t.schema] == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    base = read_transcripts(spark, path)
+    assert sorted(map(tuple, t.collect())) == sorted(map(tuple, base.collect()))
