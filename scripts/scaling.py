@@ -26,6 +26,16 @@ Methodology (why each point is CPU-PINNED with taskset):
 
 Usage: python scripts/scaling.py [--n 2] [--turns 2400000] [--iters 2]
 Prints one JSON line; also echoes per-point results as they land.
+
+`--job` measures the FULL job (extraction -> linking/canonicalization ->
+partitioned graph write, i.e. what `spark-submit openue_spark/job.py`
+runs) instead of the extraction plan alone — the north rule's scaling
+criterion is phrased over the whole job. Full-job passes are much heavier
+(the 2-core point runs minutes per pass), so --job defaults to fewer
+turns; each pass writes to a fresh output dir so the resume manifest
+cannot short-circuit the work being measured. The first pass doubles as
+the warm-up (fresh JVM: codegen + Python-worker spawn) — best-of over
+`iters >= 2` passes discards it.
 """
 
 from __future__ import annotations
@@ -70,6 +80,64 @@ spark.stop()
 """
 
 
+_JOB_POINT_SRC = r"""
+import shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from openue_spark.session import get_spark
+from openue_spark.job import main as job_main
+
+cores = {cores}
+spark = get_spark(
+    app_name=f"scaling_job_{{cores}}",
+    master=f"local[{{cores}}]",
+    extra_conf={{"spark.ui.showConsoleProgress": "false"}},
+)
+spark.sparkContext.setLogLevel("ERROR")
+n_turns = spark.read.parquet({path!r}).count()
+best = None
+for _ in range({iters}):
+    out = tempfile.mkdtemp(prefix=f"scaling_job_{{cores}}_")
+    t0 = time.time()
+    rc = job_main(["--input", {path!r}, "--out", out, "--shards", "8"], spark=spark)
+    dt = time.time() - t0
+    assert rc == 0
+    n_graph = spark.read.parquet(out + "/graph").count()
+    shutil.rmtree(out, ignore_errors=True)
+    if best is None or dt < best[0]:
+        best = (dt, n_graph)
+print(f"POINT {{cores}} {{best[0]:.3f}} {{best[1]}} {{n_turns}}", flush=True)
+spark.stop()
+"""
+
+
+_LINK_POINT_SRC = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+from openue_spark.session import get_spark
+from openue_spark.pipeline.linking import candidate_edges_from_state
+
+cores = {cores}
+spark = get_spark(
+    app_name=f"scaling_link_{{cores}}",
+    master=f"local[{{cores}}]",
+    extra_conf={{"spark.ui.showConsoleProgress": "false"}},
+)
+spark.sparkContext.setLogLevel("ERROR")
+state = spark.read.parquet({path!r}).repartition(4 * cores).persist()
+n_mentions = state.count()
+candidate_edges_from_state(state).count()  # untimed warm pass
+best = None
+for _ in range({iters}):
+    t0 = time.time()
+    n_edges = candidate_edges_from_state(state).count()
+    dt = time.time() - t0
+    if best is None or dt < best[0]:
+        best = (dt, n_edges)
+print(f"POINT {{cores}} {{best[0]:.3f}} {{best[1]}} {{n_mentions}}", flush=True)
+spark.stop()
+"""
+
+
 def ensure_input(n_turns: int) -> str:
     path = os.path.join(REPO, ".cache", f"transcripts_scaling_{n_turns}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -83,8 +151,26 @@ def ensure_input(n_turns: int) -> str:
     return path
 
 
-def run_point(cores: int, path: str, iters: int) -> dict:
-    src = _POINT_SRC.format(repo=REPO, cores=cores, path=path, iters=iters)
+def ensure_link_state(n_turns: int) -> str:
+    """Mention-state table (features for the linking verify stage) for the
+    --link mode, derived once from the scaling transcript corpus."""
+    path = os.path.join(REPO, ".cache", f"link_state_{n_turns}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from openue_spark.pipeline import extract_triples
+        from openue_spark.pipeline.linking import mention_state, mention_table
+        from openue_spark.session import get_spark
+
+        spark = get_spark(app_name="scaling_link_gen", master="local[32]")
+        spark.sparkContext.setLogLevel("ERROR")
+        raw = extract_triples(spark.read.parquet(ensure_input(n_turns)))
+        mention_state(mention_table(raw)).write.mode("overwrite").parquet(path)
+        spark.stop()
+    return path
+
+
+def run_point(cores: int, path: str, iters: int, mode: str = "extract") -> dict:
+    tmpl = {"extract": _POINT_SRC, "job": _JOB_POINT_SRC, "link": _LINK_POINT_SRC}[mode]
+    src = tmpl.format(repo=REPO, cores=cores, path=path, iters=iters)
     cmd = [sys.executable, "-c", src]
     if shutil.which("taskset"):
         # Pin to the TOP of the core range: OS housekeeping and the calling
@@ -99,6 +185,10 @@ def run_point(cores: int, path: str, iters: int) -> dict:
     return {
         "cores": int(c),
         "wall_sec": wall,
+        # in --job mode this is the CANONICAL graph-triple count (the job's
+        # output), in extraction mode the raw-triple count — both are a
+        # pure function of the input, so the per-second rates stay
+        # comparable across points within one mode
         "triples": int(n_triples),
         "turns": int(n_turns),
         "triples_per_sec": round(int(n_triples) / wall, 1),
@@ -109,23 +199,37 @@ def run_point(cores: int, path: str, iters: int) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=2, help="N; the other point is 4N")
-    ap.add_argument("--turns", type=int, default=2_400_000)
+    ap.add_argument("--turns", type=int, default=None,
+                    help="input turns (default 2.4M extraction / 600k --job|--link)")
     ap.add_argument("--iters", type=int, default=2)
+    ap.add_argument("--job", action="store_true",
+                    help="measure the full extract->link->materialize job")
+    ap.add_argument("--link", action="store_true",
+                    help="measure the linking verify stage (LSH band join ->"
+                    " cosine -> Jaccard) from a stored mention_state table")
     args = ap.parse_args()
+    mode = "job" if args.job else ("link" if args.link else "extract")
+    turns = args.turns or {"job": 600_000, "link": 600_000, "extract": 2_400_000}[mode]
 
     sys.path.insert(0, REPO)
-    path = ensure_input(args.turns)
+    path = ensure_link_state(turns) if mode == "link" else ensure_input(turns)
     points = []
     for cores in (args.n, 4 * args.n):
-        pt = run_point(cores, path, args.iters)
+        pt = run_point(cores, path, args.iters, mode=mode)
         points.append(pt)
         print(f"local[{pt['cores']}]: {pt['wall_sec']}s "
               f"{pt['triples_per_sec']} triples/s", file=sys.stderr)
 
     eff = round((points[1]["triples_per_sec"] / points[0]["triples_per_sec"]) / 4, 3)
+    what = {
+        "job": "full job (extract+link+materialize)",
+        "link": "linking verify stage (band join -> cosine -> jaccard; edges/s)",
+        "extract": "extraction",
+    }[mode]
     print(json.dumps({
-        "metric": "extraction throughput scaling N->4N (taskset-pinned cores, executor proxy)",
+        "metric": f"{what} throughput scaling N->4N (taskset-pinned cores, executor proxy)",
         "n_cores": args.n,
+        "turns": turns,
         "points": points,
         "scaling_efficiency": eff,
         "pass_threshold_0.8": eff >= 0.8,
