@@ -121,22 +121,12 @@ def _minhash_candidates_from(shingled: DataFrame) -> DataFrame:
             F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_hash")) for b in range(N_BANDS)])
         ).alias("bh"),
     ).select("doc_id", "bh.band_id", "bh.band_hash")
-    # both sides are the SAME aliased frame (not per-side renamed
-    # projections): the sides then canonicalize to one Exchange and
-    # ReuseExchange shuffles/fingerprints the corpus ONCE instead of twice
-    # — at scale, one minhash pass over the corpus, not two (same trick as
-    # linking._jaccard_verify; CLAUDE.md gotcha)
-    a, b = stacked.alias("_ma"), stacked.alias("_mb")
+    a = stacked.select(F.col("doc_id").alias("a_id"), "band_id", "band_hash")
+    b = stacked.select(F.col("doc_id").alias("b_id"), "band_id", "band_hash")
     return (
-        a.join(
-            b,
-            (F.col("_ma.band_id") == F.col("_mb.band_id"))
-            & (F.col("_ma.band_hash") == F.col("_mb.band_hash")),
-        )
-        .where(F.col("_ma.doc_id") < F.col("_mb.doc_id"))
-        .select(
-            F.col("_ma.doc_id").alias("a_id"), F.col("_mb.doc_id").alias("b_id")
-        )
+        a.join(b, ["band_id", "band_hash"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
         .distinct()
     )
 
@@ -145,15 +135,15 @@ def minhash_verified_pairs(docs: DataFrame, min_jaccard: float = 0.6) -> DataFra
     """LSH candidates verified with exact shingle-set Jaccard."""
     shingled = _barrier(with_shingles(_corpus(docs)).select("doc_id", "shingles"))
     pairs = _minhash_candidates_from(shingled)
-    sa, sb = shingled.alias("_va"), shingled.alias("_vb")
+    sa = shingled.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b"))
     return (
-        pairs.join(sa, F.col("a_id") == F.col("_va.doc_id"))
-        .join(sb, F.col("b_id") == F.col("_vb.doc_id"))
+        pairs.join(sa, "a_id")
+        .join(sb, "b_id")
         .withColumn(
             "jaccard",
             F.expr(
-                "size(array_intersect(_va.shingles, _vb.shingles))"
-                " / cast(size(array_union(_va.shingles, _vb.shingles)) as double)"
+                "size(array_intersect(sh_a, sh_b)) / cast(size(array_union(sh_a, sh_b)) as double)"
             ),
         )
         .where(F.col("jaccard") >= min_jaccard)
@@ -236,21 +226,12 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
             ])
         ).alias("nb"),
     ).select("doc_id", "simhash", "nb.band_id", "nb.band_val")
-    # same-aliased-frame self-join -> one Exchange, reused for both sides
-    # (one band-explode shuffle of the corpus instead of two)
-    a, b = bands.alias("_sa"), bands.alias("_sb")
+    a = bands.select(F.col("doc_id").alias("a_id"), F.col("simhash").alias("sh_a"), "band_id", "band_val")
+    b = bands.select(F.col("doc_id").alias("b_id"), F.col("simhash").alias("sh_b"), "band_id", "band_val")
     return (
-        a.join(
-            b,
-            (F.col("_sa.band_id") == F.col("_sb.band_id"))
-            & (F.col("_sa.band_val") == F.col("_sb.band_val")),
-        )
-        .where(F.col("_sa.doc_id") < F.col("_sb.doc_id"))
-        .select(
-            F.col("_sa.doc_id").alias("a_id"),
-            F.col("_sb.doc_id").alias("b_id"),
-            F.expr("bit_count(_sa.simhash ^ _sb.simhash)").alias("hamming"),
-        )
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.expr("bit_count(sh_a ^ sh_b)").alias("hamming"))
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
@@ -285,17 +266,12 @@ def ngram_jaccard_pairs(
     inv = inv.withColumn("df", F.count(F.lit(1)).over(df_w)).where(
         F.col("df") <= max_df
     ).drop("df")
-    # same-aliased-frame self-join -> the inverted index shuffles once
-    a, b = inv.alias("_na"), inv.alias("_nb")
+    a = inv.select(F.col("doc_id").alias("a_id"), F.col("n_sh").alias("na"), "shingle")
+    b = inv.select(F.col("doc_id").alias("b_id"), F.col("n_sh").alias("nb"), "shingle")
     shared = (
-        a.join(b, F.col("_na.shingle") == F.col("_nb.shingle"))
-        .where(F.col("_na.doc_id") < F.col("_nb.doc_id"))
-        .groupBy(
-            F.col("_na.doc_id").alias("a_id"),
-            F.col("_nb.doc_id").alias("b_id"),
-            F.col("_na.n_sh").alias("na"),
-            F.col("_nb.n_sh").alias("nb"),
-        )
+        a.join(b, "shingle")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id", "na", "nb")
         .agg(F.count(F.lit(1)).alias("shared"))
     )
     return (
@@ -450,24 +426,19 @@ def embedding_near_dup_bucketed(
             ])
         ).alias("bb"),
     ).select("vec_id", "emb", "nrm", "bb.band_id", "bb.band_val")
-    # same-aliased-frame self-join -> the quantize+bits+band explode
-    # pipeline shuffles (and evaluates) once, reused for both sides
-    a, b = banded.alias("_ea"), banded.alias("_eb")
-    dot = F.expr(
-        "aggregate(zip_with(_ea.emb, _eb.emb, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    a = banded.select(
+        F.col("vec_id").alias("a_id"), F.col("emb").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"), "band_id", "band_val",
     )
+    b = banded.select(
+        F.col("vec_id").alias("b_id"), F.col("emb").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"), "band_id", "band_val",
+    )
+    dot = F.expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
     return (
-        a.join(
-            b,
-            (F.col("_ea.band_id") == F.col("_eb.band_id"))
-            & (F.col("_ea.band_val") == F.col("_eb.band_val")),
-        )
-        .where(F.col("_ea.vec_id") < F.col("_eb.vec_id"))
-        .select(
-            F.col("_ea.vec_id").alias("a_id"),
-            F.col("_eb.vec_id").alias("b_id"),
-            (dot / (F.col("_ea.nrm") * F.col("_eb.nrm"))).alias("cosine"),
-        )
+        a.join(b, ["band_id", "band_val"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", dot / (F.col("nrm_a") * F.col("nrm_b")))
         .where(F.col("cosine") >= min_cosine)
         .select("a_id", "b_id", F.round("cosine", 4).alias("cosine_r"))
         .dropDuplicates(["a_id", "b_id"])

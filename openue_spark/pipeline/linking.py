@@ -296,28 +296,33 @@ def _jaccard_verify(
     candidate pairs ride through (dedup AFTER verify — the round-1 lesson).
     """
     min_j = 1.0 - jaccard_distance
-    # Both sides join the SAME aliased frame (not per-side renamed
-    # projections): the per-side Project used to sit INSIDE the broadcast
-    # child, so the two broadcasts never canonicalized to one exchange and
-    # the driver built (and shipped) the relation twice per query. With a
-    # bare alias the exchanges are identical and ReuseExchange collapses
-    # them to ONE build — measured ~4s/pass of driver-serial time saved
-    # across this helper + _cosine_filter at the 600k-turn scale (the
-    # serial component is what caps pinned-core scaling of this stage).
-    sa, sb = hashed.alias("_ja"), hashed.alias("_jb")
+    # NOTE (round-3 investigation): a same-aliased-frame form of this self-
+    # lookup ("one reused exchange for both sides") was tried and REVERTED —
+    # AQE's runtime stage cache already reuses identical per-side stages
+    # even with the renamed projections below (canonicalization normalizes
+    # the aliases), and pinned-core A/B/A/B showed the two forms are
+    # performance-identical. See PLANS.md §15.
+    sa = hashed.select(
+        F.col("mention_id").alias("a_id"), F.col("sh").alias("sh_a"), F.col("n_sh").alias("n_a")
+    )
+    sb = hashed.select(
+        F.col("mention_id").alias("b_id"), F.col("sh").alias("sh_b"), F.col("n_sh").alias("n_b")
+    )
     if broadcast_sides:
         sa, sb = F.broadcast(sa), F.broadcast(sb)
-    n_a, n_b = F.col("_ja.n_sh"), F.col("_jb.n_sh")
-    inter = F.size(F.array_intersect(F.col("_ja.sh"), F.col("_jb.sh")))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     keep = list(cand.columns)
     return (
-        cand.join(sa, F.col("a_id") == F.col("_ja.mention_id"))
-        .join(sb, F.col("b_id") == F.col("_jb.mention_id"))
-        .where(F.least(n_a, n_b).cast("double") >= F.lit(min_j) * F.greatest(n_a, n_b))
+        cand.join(sa, "a_id")
+        .join(sb, "b_id")
+        .where(
+            F.least("n_a", "n_b").cast("double")
+            >= F.lit(min_j) * F.greatest("n_a", "n_b")
+        )
         .withColumn("inter", inter)
         .withColumn(
             "jaccard_dist",
-            1 - F.col("inter") / (n_a + n_b - F.col("inter")).cast("double"),
+            1 - F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")).cast("double"),
         )
         .where(F.col("jaccard_dist") <= jaccard_distance)
         .select(*keep, "jaccard_dist")
@@ -329,18 +334,13 @@ def _cosine_filter(cand: DataFrame, embedded: DataFrame, min_cosine: float) -> D
     min_cosine (embeddings are L2-normalized -> plain dot). Per-pair
     vectors join from explicitly-broadcast mention-side tables, so the
     candidate stream is never shuffled. Adds a `cosine` column."""
-    # same one-exchange alias trick as _jaccard_verify: both sides reuse a
-    # single broadcast build instead of two per-side-projected ones
-    ea = F.broadcast(embedded.alias("_ca"))
-    eb = F.broadcast(embedded.alias("_cb"))
-    dot = F.expr(
-        "aggregate(zip_with(_ca.embedding, _cb.embedding, (x, y) -> x * y),"
-        " 0D, (acc, v) -> acc + v)"
-    )
+    ea = embedded.select(F.col("mention_id").alias("a_id"), F.col("embedding").alias("emb_a"))
+    eb = embedded.select(F.col("mention_id").alias("b_id"), F.col("embedding").alias("emb_b"))
+    dot = F.expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
     keep = list(cand.columns)
     return (
-        cand.join(ea, F.col("a_id") == F.col("_ca.mention_id"))
-        .join(eb, F.col("b_id") == F.col("_cb.mention_id"))
+        cand.join(F.broadcast(ea), "a_id")
+        .join(F.broadcast(eb), "b_id")
         .withColumn("cosine", dot)
         .where(F.col("cosine") >= min_cosine)
         .select(*keep, "cosine")
