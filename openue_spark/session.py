@@ -10,8 +10,34 @@ Python-worker memory.
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import SparkSession
+
+
+def _disable_thp_stalls() -> None:
+    """Work around pathological THP direct-compaction stalls (Linux).
+
+    numpy madvises MADV_HUGEPAGE for every allocation >= 4 MB; with THP in
+    madvise mode on a memory-fragmented host each such first-touch fault can
+    run synchronous compaction — measured 280x here (an 80 MB allocation:
+    16 s vs 0.05 s, EVERY allocation, not just the first). PR_SET_THP_DISABLE
+    (=41) turns the madvise into a no-op and is inherited across fork+exec,
+    so setting it at import time — before the JVM spawns — covers the JVM
+    and every forked Python worker running our Arrow-batched numpy.
+    Harmless where THP behaves: the same workloads measure within noise.
+    """
+    os.environ.setdefault("NUMPY_MADVISE_HUGEPAGE", "0")
+    if sys.platform == "linux":
+        try:
+            import ctypes
+
+            ctypes.CDLL(None, use_errno=True).prctl(41, 1, 0, 0, 0)
+        except Exception:  # pragma: no cover - best-effort guard
+            pass
+
+
+_disable_thp_stalls()
 
 
 def tuning_conf(cores: int = 32, shuffle_partitions: int | None = None) -> dict[str, str]:
@@ -44,6 +70,9 @@ def get_spark(
     conf = tuning_conf(cores, shuffle_partitions)
     conf["spark.driver.memory"] = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
     conf["spark.ui.enabled"] = "false"
+    # Python workers forked by an already-running JVM re-read the env; keep
+    # the numpy THP opt-out visible there too (belt to the prctl suspenders).
+    conf["spark.executorEnv.NUMPY_MADVISE_HUGEPAGE"] = "0"
     conf.update(extra_conf or {})
     for k, v in conf.items():
         builder = builder.config(k, v)

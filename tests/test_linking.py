@@ -206,6 +206,101 @@ def test_candidate_edges_hot_bucket_cap(spark):
     assert capped < len(fused)
 
 
+# --- driver-side components short-circuit (round 3) ---
+
+
+def _uf_oracle(edges):
+    """Sequential union-find: per node, the MIN id of its component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in parent}
+
+
+def test_min_label_components_matches_union_find_oracle():
+    """The vectorized driver solver is exact on randomized graphs — chains,
+    cliques, stars, duplicate/reversed edges, negative ids (xxhash64 range),
+    self-loops — against a sequential union-find oracle."""
+    import random
+
+    import numpy as np
+
+    from openue_spark.pipeline.linking import _min_label_components
+
+    rng = random.Random(42)
+    for trial in range(25):
+        n = rng.randrange(1, 400)
+        ids = rng.sample(range(-(2**62), 2**62 - 1), n)
+        m = rng.randrange(1, 800)
+        edges = [(rng.choice(ids), rng.choice(ids)) for _ in range(m)]
+        # adversarial shapes mixed in: a long chain and a clique
+        chain = ids[: min(n, 50)]
+        edges += list(zip(chain, chain[1:]))
+        clique = ids[-min(n, 8):]
+        edges += [(a, b) for a in clique for b in clique]
+        src = np.array([e[0] for e in edges], dtype=np.int64)
+        dst = np.array([e[1] for e in edges], dtype=np.int64)
+        nodes, labels = _min_label_components(src, dst)
+        expect = _uf_oracle(edges)
+        got = dict(zip(nodes.tolist(), labels.tolist()))
+        assert got == expect, f"trial {trial}"
+
+
+def test_min_label_components_empty():
+    import numpy as np
+
+    from openue_spark.pipeline.linking import _min_label_components
+
+    nodes, labels = _min_label_components(
+        np.array([], dtype=np.int64), np.array([], dtype=np.int64)
+    )
+    assert nodes.size == 0 and labels.size == 0
+
+
+def test_connected_components_driver_and_distributed_agree(spark):
+    """The size-gated driver path and the distributed fixpoint loop return
+    identical labels (including isolated mentions) on a mixed graph."""
+    import random
+
+    rng = random.Random(7)
+    ids = rng.sample(range(-(2**62), 2**62 - 1), 60)
+    mentions = spark.createDataFrame(
+        [(i,) for i in ids], "mention_id long"
+    )
+    edge_rows = (
+        list(zip(ids[:20], ids[1:21]))          # 21-node chain
+        + [(ids[30], ids[31]), (ids[31], ids[32]), (ids[30], ids[32])]  # triangle
+        + [(ids[40], ids[40])]                  # self-loop
+        + [(ids[45], ids[46]), (ids[46], ids[45])]  # reversed duplicate
+    )
+    edges = spark.createDataFrame(edge_rows, "a_id long, b_id long")
+    via_driver = {
+        r.mention_id: r.label
+        for r in connected_components(mentions, edges).collect()
+    }
+    via_spark = {
+        r.mention_id: r.label
+        for r in connected_components(
+            mentions, edges, max_iterations=50, driver_max_edges=0
+        ).collect()
+    }
+    assert via_driver == via_spark
+    assert via_driver[ids[20]] == min(ids[:21])
+    assert via_driver[ids[40]] == ids[40]  # self-loop stays its own component
+    # isolated mentions present in both
+    assert set(via_driver) == set(ids)
+
+
 # --- incremental maintenance (link_entities_increment) ---
 
 
