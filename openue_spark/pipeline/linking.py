@@ -808,28 +808,35 @@ def link_entities(
     # 15-round cap would silently leave with split labels (a warning fires
     # if even 50 is exhausted)
     labels = connected_components(mentions, edges, max_iterations=50)
+    mapping = canonicalize(mentions, labels).localCheckpoint(eager=True)
     # over-merge guard: one giant transitive component is noise chained
     # into a single "entity", not signal (a 100k-turn profile produced a
     # component holding 84% of all mentions before the hot-bucket cap).
     # Canonicalization proceeds — the warning is the operator's cue to
-    # tighten thresholds or the bucket cap.
-    n_mentions = mentions.count()
-    if n_mentions > 0:
-        biggest = (
-            labels.groupBy("label").count().agg(F.max("count")).collect()[0][0] or 0
-        )
-        if biggest > max(1000, n_mentions // 10):
-            import warnings
+    # tighten thresholds or the bucket cap. ONE aggregation over the
+    # already-checkpointed mapping (canonical_id is 1:1 with the CC label,
+    # and mapping holds exactly one row per mention) replaces the former
+    # two pre-checkpoint jobs — a mentions.count plus a label histogram
+    # that re-shuffled the unmaterialized CC lineage; the serial-latency
+    # attribution in BASELINE.md round-3b motivated the fold-in.
+    stats = (
+        mapping.groupBy("canonical_id")
+        .count()
+        .agg(F.max("count").alias("biggest"), F.sum("count").alias("n"))
+        .collect()[0]
+    )
+    biggest, n_mentions = int(stats.biggest or 0), int(stats.n or 0)
+    if n_mentions > 0 and biggest > max(1000, n_mentions // 10):
+        import warnings
 
-            warnings.warn(
-                f"link_entities: largest canonical component holds {biggest}"
-                f" of {n_mentions} mentions ({100.0 * biggest / n_mentions:.0f}%)"
-                " — likely transitive over-merge; consider a tighter"
-                " min_cosine/jaccard_distance or a smaller max_bucket",
-                RuntimeWarning,
-                stacklevel=2,
-            )
-    mapping = canonicalize(mentions, labels).localCheckpoint(eager=True)
+        warnings.warn(
+            f"link_entities: largest canonical component holds {biggest}"
+            f" of {n_mentions} mentions ({100.0 * biggest / n_mentions:.0f}%)"
+            " — likely transitive over-merge; consider a tighter"
+            " min_cosine/jaccard_distance or a smaller max_bucket",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     if embedded is not None:
         embedded.unpersist()
     mentions.unpersist()
