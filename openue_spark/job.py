@@ -124,7 +124,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         write_run_config,
     )
     from openue_spark.pipeline.linking import canonical_triples, link_entities
-    from openue_spark.pipeline.materialize import run_extraction_resumable, write_triple_table
+    from openue_spark.pipeline.materialize import (
+        log_stage_metric,
+        run_extraction_resumable,
+        write_triple_table,
+    )
 
     t0 = time.time()
     # S6: every run records its resolved args + effective Spark conf first —
@@ -195,6 +199,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             f"triples after folding {stats['n_raw']} new raw triples "
             f"({time.time() - t1:.1f}s); total {time.time() - t0:.1f}s"
         )
+        log_stage_metric(
+            spark, args.out, run_id, "fold",
+            wall_ms=int((time.time() - t1) * 1000),
+            row_count=stats["n_changed"], triple_count=stats["n_graph"],
+        )
         if owns_session:
             spark.stop()
         return 0
@@ -212,6 +221,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         mapping.write.mode("overwrite").parquet(f"{args.out}/mapping")
         final = canonical_triples(raw, mapping)
         print(f"[job] linking complete ({time.time() - t1:.1f}s)")
+        # north-rule metrics: stage latency + counts ride the same manifest
+        # table as the per-shard extraction lineage (mapping is
+        # checkpointed, so the count reads materialized blocks)
+        log_stage_metric(
+            spark, args.out, run_id, "link",
+            wall_ms=int((time.time() - t1) * 1000),
+            row_count=mapping.count(), triple_count=n_raw,
+        )
     else:
         final = raw
 
@@ -222,6 +239,11 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         f"[job] graph materialized: {n_graph} canonical (subj, pred, obj) triples "
         f"({time.time() - t2:.1f}s); total {time.time() - t0:.1f}s; "
         f"throughput {n_raw / (time.time() - t0):.0f} triples/s"
+    )
+    log_stage_metric(
+        spark, args.out, run_id, "graph",
+        wall_ms=int((time.time() - t2) * 1000),
+        row_count=n_graph, triple_count=n_graph,
     )
     if owns_session:
         spark.stop()

@@ -106,6 +106,33 @@ def _append_manifest(spark: SparkSession, out_dir: str, row: tuple) -> None:
     )
 
 
+def log_stage_metric(
+    spark: SparkSession,
+    out_dir: str,
+    run_id: str,
+    stage: str,
+    wall_ms: int,
+    row_count: int,
+    triple_count: int,
+) -> None:
+    """Append a STAGE-level latency/count metric row to the run manifest —
+    the north rule logs per-partition lineage AND latency metrics to one
+    manifest table, and extraction's per-shard rows only cover the first
+    phase. Stage rows use shard = -1 and stage names outside 'extract', so
+    the resume logic (which filters stage == 'extract' before reading
+    shard ids) never mistakes them for shard lineage; input_fingerprint is
+    0 and weights_sha '' (post-extraction stages do not depend on the
+    weights bundle)."""
+    import datetime
+
+    _append_manifest(
+        spark,
+        out_dir,
+        (run_id, stage, -1, 0, row_count, triple_count, wall_ms,
+         datetime.datetime.now(), ""),
+    )
+
+
 def run_extraction_resumable(
     spark: SparkSession,
     transcripts: DataFrame,

@@ -16,10 +16,17 @@ def test_job_main_synthesize_no_link(spark, tmp_path):
     graph = spark.read.parquet(f"{out}/graph")
     assert graph.count() > 0
     assert {"subj", "pred", "obj", "support", "conv_bucket"} <= set(graph.columns)
-    # manifest lineage rows: one per (run, shard)
+    # manifest lineage rows: one per (run, shard), plus stage metric rows
     manifest = spark.read.parquet(f"{out}/manifest")
     assert manifest.where(F.col("stage") == "extract").count() == 2
     assert manifest.where(F.col("triple_count") <= 0).count() == 0
+    # the graph stage logs its latency + canonical count to the same table
+    # (north rule: lineage AND latency metrics in one manifest); --no-link
+    # skips the link stage, so exactly one stage row exists
+    g = manifest.where(F.col("stage") == "graph").collect()
+    assert len(g) == 1 and g[0].shard == -1 and g[0].wall_ms > 0
+    assert g[0].triple_count == graph.count()
+    assert manifest.where(F.col("stage") == "link").count() == 0
     # hive layout on disk
     preds = [d for d in os.listdir(f"{out}/graph") if d.startswith("pred=")]
     assert len(preds) > 1
@@ -36,10 +43,23 @@ def test_job_main_input_path_resumes(spark, tmp_path):
     out = str(tmp_path / "kg2")
     assert main(["--input", inp, "--out", out, "--no-link", "--shards", "2"], spark=spark) == 0
     n1 = spark.read.parquet(f"{out}/triples").count()
-    m1 = spark.read.parquet(f"{out}/manifest").count()
+
+    def extract_rows():
+        return (
+            spark.read.parquet(f"{out}/manifest")
+            .where(F.col("stage") == "extract")
+            .count()
+        )
+
+    m1 = extract_rows()
     assert main(["--input", inp, "--out", out, "--no-link", "--shards", "2"], spark=spark) == 0
     assert spark.read.parquet(f"{out}/triples").count() == n1
-    assert spark.read.parquet(f"{out}/manifest").count() == m1  # nothing re-ran
+    assert extract_rows() == m1  # no shard re-extracted
+    # stage metric rows DO append per run (each run logs its own latency)
+    assert (
+        spark.read.parquet(f"{out}/manifest").where(F.col("stage") == "graph").count()
+        == 2
+    )
 
 
 @pytest.mark.slow
