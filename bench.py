@@ -147,20 +147,19 @@ def main() -> int:
             sc_turns = int(os.environ.get("SPARK_GRAFT_SCALING_TURNS", "2400000"))
             sc_path = ensure_input(sc_turns)
 
-            # 5 timed draws at 4N: best-of is the single-tenant estimator,
-            # and the 4N point both carries most of the noise (measured
-            # 70k/110k/158k across contention windows with identical code)
-            # and is the cheaper pass — extra draws are the right trade.
-            #
-            # Redraw protocol (the r2 lesson): the artifact of record once
-            # carried eff=0.668 from ONE contention-polluted pair while the
-            # standalone protocol measured 0.967/0.920 on the same code.
-            # Neighbor steal is bursty, so when the pair reads < 0.8 the
-            # right move is more draws of BOTH points — best-of over draws
-            # converges on the quiet-window (single-tenant) throughput of
-            # each point — not shipping the polluted sample. Every draw is
-            # recorded with its steal%, so a low final number is visibly a
-            # measurement-environment statement, not a hidden retry.
+            # Fixed-budget draw protocol (ADVICE r3 superseding the r2
+            # redraw loop): the old rule redrew only while eff < 0.8,
+            # capped at 4 — a stopping rule conditioned on the very
+            # threshold being evidenced. Because best-of is monotone,
+            # halting at the first passing draw could leave the N point at
+            # a contention-depressed best while 4N got extra draws,
+            # biasing eff upward. Now BOTH points get the same
+            # unconditional draw budget regardless of what eff reads;
+            # contention only ever DEPRESSES a draw, so best-of over a
+            # fixed budget converges on each point's single-tenant
+            # throughput with no selection on the outcome. Every draw is
+            # still recorded with its steal%, so a low final number is
+            # visibly a measurement-environment statement.
             draws: list[dict] = []
 
             def draw(cores: int, iters: int) -> None:
@@ -185,24 +184,20 @@ def main() -> int:
                     3,
                 )
 
-            draw(n, 2)
-            draw(4 * n, 5)
-            redraws = 0
-            max_redraws = int(os.environ.get("SPARK_GRAFT_SCALING_REDRAWS", "4"))
-            # No steal-based early stop: a sub-1%-steal window is NOT
+            # No steal-based stopping either: a sub-1%-steal window is NOT
             # single-tenant — neighbor VMs saturate the shared memory
             # controller without stealing our CPU ticks, and the 8-core
             # point is bandwidth-sensitive (measured 215k vs 265k
             # triples/s at 0.82% vs 0.26% steal, and 2-core 63-87k all
-            # under 1.7%). Contention only ever DEPRESSES a draw, so
-            # best-of over more draws is the one estimator that converges
-            # on each point's single-tenant throughput; steal% is recorded
-            # per draw as evidence, never used as a stopping rule.
-            while eff_now() < 0.8 and redraws < max_redraws:
-                redraws += 1
-                draw(4 * n, 3)  # the noisier, bandwidth-sensitive point first
-                if eff_now() < 0.8:
-                    draw(n, 2)
+            # under 1.7%). Steal% is recorded per draw as evidence, never
+            # used as a stopping rule. The 4N point carries most of the
+            # noise (70k/110k/158k across contention windows for identical
+            # code) and is the cheaper pass, so it gets more timed iters
+            # per draw.
+            n_draws = int(os.environ.get("SPARK_GRAFT_SCALING_DRAWS", "2"))
+            for _ in range(n_draws):
+                draw(4 * n, 4)  # noisier, bandwidth-sensitive point first
+                draw(n, 2)
 
             scaling = {
                 "scaling_points": {

@@ -1272,15 +1272,19 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic k-means fit. DuckDB cannot run k-means, so the oracle
     mirrors the EXPECTED row — the exact-side pair count plus
     recall_ok = true — and the hash only matches when the measured recall
-    clears the 0.9 bar; a recall regression flips recall_ok and fails the
+    clears the bar; a recall regression flips recall_ok and fails the
     row. (n_hit itself would overfit the oracle to one centroid draw.)
 
-    nprobe = 12 of 16 buckets: the driver's embeddings are UNclustered
-    64-dim vectors — IVF's worst case, where neighbors scatter uniformly
-    across buckets — so a high probe fraction is needed for recall >= 0.9
-    (measured, deterministic: 0.933 @ sf0.001, 0.967 @ sf0.01,
-    0.900 @ sf0.1). On clustered real embeddings the same operator clears
-    0.9 probing 2 of 8 buckets (tests/test_ops.py::
+    The bar is 0.85 with the operator tuned to measure well above it
+    (ADVICE r3: the old bar sat at exactly the worst measured point —
+    0.900 @ sf0.1 vs a >= 0.9 assert, zero margin, so any benign numeric
+    perturbation could flip a head-of-window driver row). nprobe = 13 of
+    16 buckets: the driver's embeddings are UNclustered 64-dim vectors —
+    IVF's worst case, where neighbors scatter uniformly across buckets —
+    so a high probe fraction is needed (measured at nprobe=13,
+    deterministic: 0.933 @ sf0.001, 0.967 @ sf0.01, 0.967 @ sf0.1 —
+    >= 8pp above the bar at every SF). On clustered real embeddings the
+    same operator clears 0.9 probing 2 of 8 buckets (tests/test_ops.py::
     test_ivf_recall_on_clustered_data) — nprobe is the recall/cost knob,
     not a fixed property of the index."""
     from .ops.similarity import brute_force_topk, ivf_topk, kmeans_centroids
@@ -1291,7 +1295,7 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("qvec"),
     )
     cent = kmeans_centroids(emb)
-    approx = ivf_topk(emb, queries_df, k=10, nprobe=12, centroids=cent)
+    approx = ivf_topk(emb, queries_df, k=10, nprobe=13, centroids=cent)
     exact = brute_force_topk(emb, queries_df, k=10)
     hits = (
         approx.select("query_id", "neighbor_id")
@@ -1301,7 +1305,7 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = exact.agg(F.count(F.lit(1)).alias("n_exact"))
     return totals.crossJoin(hits).select(
         "n_exact",
-        (F.col("n_hit") >= F.lit(0.9) * F.col("n_exact")).alias("recall_ok"),
+        (F.col("n_hit") >= F.lit(0.85) * F.col("n_exact")).alias("recall_ok"),
     )
 
 
@@ -2294,7 +2298,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         # k-means is not SQL-expressible; the oracle pins the exact-side
         # pair count (qc queries x min(10, |emb|-1) neighbors each) and
-        # recall_ok = true, so the hash matches iff measured recall >= 0.9.
+        # recall_ok = true, so the hash matches iff measured recall clears
+        # the 0.85 bar (operator tuned to measure >= 0.92 — see the query
+        # docstring for the margin rationale).
         "ann_ivf_recall": (
             "WITH n AS (SELECT count(*)::BIGINT AS c FROM embeddings),"
             " q AS (SELECT count(*)::BIGINT AS qc FROM embeddings WHERE vec_id < 3)"

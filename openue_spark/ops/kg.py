@@ -19,8 +19,13 @@ Scale design — no dense entity ids, no driver-side vocabulary:
   and picks the member at rank hash(ckey) % bucket_size: one equi-join to
   the per-bucket size, one exact equi-join on (bucket, rank). Every
   corruption matches exactly ONE vocab row, so per-corruption work is
-  O(1) at any |E| — no skew surface, no expansion, fully deterministic
-  (resume/backfill emits byte-identical samples). An earlier rendezvous
+  O(1) at any |E| — no skew surface, no expansion, fully deterministic:
+  resume/backfill emits byte-identical samples WITHIN one sampler version
+  (SAMPLER_VERSION below). The round-3 rank-mod redesign changed which
+  negatives identical inputs draw vs the round-2 rendezvous sampler, so a
+  backfill spanning versions would mix two sampling regimes in one table;
+  stamp persisted outputs with F.lit(SAMPLER_VERSION) so a mixed table is
+  detectable. An earlier rendezvous
   variant (arg-min of md5(entity @ ckey) over bucket MEMBERS) cost
   |pos| * k * |E|/B intermediate rows — 2M rows and 3x wall-clock on the
   sf0.1 bench, and unboundedly worse as |E| grows.
@@ -58,6 +63,13 @@ from pyspark.sql import functions as F
 
 BUCKET_HEX = 2  # legacy fixed width (16^2 = 256 buckets); None -> auto
 TARGET_BUCKET_ENTITIES = 64  # auto-size target mean bucket occupancy
+# Sampling-regime version: bumped whenever the deterministic pick rule or
+# its defaults change (1 = rendezvous arg-min, fixed bucket_hex=2, rounds
+# 1-2; 2 = rank-mod pick, auto-sized buckets, round 3+). Byte-identical
+# resume/backfill holds only within one version — stamp persisted
+# negative-sample tables with this so cross-version backfills are
+# detectable rather than silent.
+SAMPLER_VERSION = 2
 MAX_BUCKET_HEX = 8
 
 

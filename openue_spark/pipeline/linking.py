@@ -37,6 +37,19 @@ from ..mock_models import mention_embedding
 
 EMB_DIM = 32
 
+# Mention-count ceiling for the explicit F.broadcast() hints on the fused
+# verify's per-mention side tables (hashed shingles ~40 int64s ≈ 350 B/row
+# in a broadcast hash relation, embeddings 32 doubles ≈ 300 B/row): at 5M
+# mentions each hinted side is ~1.5-1.8 GB per executor — about the
+# practical ceiling. The hint OVERRIDES autoBroadcastJoinThreshold, so an
+# unconditional hint at 10^8-10^9 mentions (the 100 TB regime) would build
+# a multi-GB table on every executor and OOM. Above this ceiling the hints
+# are dropped and AQE chooses the strategy from RUNTIME sizes — it still
+# broadcasts any side that genuinely fits (e.g. the incident-restricted
+# tables of an incremental fold), and falls back to a cores-scaling
+# shuffle join otherwise (the switch BASELINE.md's 100 TB plan promises).
+BROADCAST_MAX_MENTIONS = 5_000_000
+
 
 def mention_table(triples: DataFrame) -> DataFrame:
     """Distinct mention surface forms with stable ids (xxhash64 of the
@@ -329,18 +342,28 @@ def _jaccard_verify(
     )
 
 
-def _cosine_filter(cand: DataFrame, embedded: DataFrame, min_cosine: float) -> DataFrame:
+def _cosine_filter(
+    cand: DataFrame,
+    embedded: DataFrame,
+    min_cosine: float,
+    broadcast_sides: bool = True,
+) -> DataFrame:
     """Keep (a_id, b_id) candidates whose pooled-embedding cosine >=
-    min_cosine (embeddings are L2-normalized -> plain dot). Per-pair
+    min_cosine (embeddings are L2-normalized -> plain dot). With
+    broadcast_sides=True (the <= BROADCAST_MAX_MENTIONS regime) per-pair
     vectors join from explicitly-broadcast mention-side tables, so the
-    candidate stream is never shuffled. Adds a `cosine` column."""
+    candidate stream is never shuffled; above the ceiling the hints are
+    dropped and AQE picks the strategy from runtime sizes. Adds a
+    `cosine` column."""
     ea = embedded.select(F.col("mention_id").alias("a_id"), F.col("embedding").alias("emb_a"))
     eb = embedded.select(F.col("mention_id").alias("b_id"), F.col("embedding").alias("emb_b"))
+    if broadcast_sides:
+        ea, eb = F.broadcast(ea), F.broadcast(eb)
     dot = F.expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
     keep = list(cand.columns)
     return (
-        cand.join(F.broadcast(ea), "a_id")
-        .join(F.broadcast(eb), "b_id")
+        cand.join(ea, "a_id")
+        .join(eb, "b_id")
         .withColumn("cosine", dot)
         .where(F.col("cosine") >= min_cosine)
         .select(*keep, "cosine")
@@ -379,6 +402,7 @@ def candidate_edges(
     n_hashes: int = 16,
     n_bands: int = 8,
     max_bucket: int | None = 256,
+    n_mentions: int | None = None,
 ) -> DataFrame:
     """Fused blocking -> hot-bucket cap -> cosine prefilter -> exact-Jaccard
     verify.
@@ -395,7 +419,13 @@ def candidate_edges(
     `candidate_pairs_banded` keeps the verify-first shape for the
     oracle-checked contract queries (max_bucket=None there: the mirror
     must be exact and fixture buckets are tiny).
+
+    `n_mentions` gates the broadcast hints (see BROADCAST_MAX_MENTIONS);
+    callers that already know the count (link_entities does) pass it to
+    skip the extra count job here.
     """
+    if n_mentions is None:
+        n_mentions = mentions.count()
     shingled = _shingled_mentions(mentions)
     return _fused_edges(
         _banded_signatures(shingled, n_hashes, n_bands),
@@ -404,6 +434,7 @@ def candidate_edges(
         jaccard_distance,
         min_cosine,
         max_bucket,
+        broadcast_sides=n_mentions <= BROADCAST_MAX_MENTIONS,
     )
 
 
@@ -412,9 +443,14 @@ def candidate_edges_from_state(
     jaccard_distance: float = 0.6,
     min_cosine: float = 0.85,
     max_bucket: int | None = 256,
+    n_mentions: int | None = None,
 ) -> DataFrame:
     """candidate_edges fed from a persisted mention_state table — identical
-    edges (pinned by test), zero per-mention feature recompute."""
+    edges (pinned by test), zero per-mention feature recompute.
+    `n_mentions` gates the broadcast hints (BROADCAST_MAX_MENTIONS);
+    counted from `state` when not supplied (parquet-footer-cheap)."""
+    if n_mentions is None:
+        n_mentions = state.count()
     return _fused_edges(
         state.select(
             "mention_id", F.posexplode("band_hashes").alias("band_id", "band_hash")
@@ -424,6 +460,7 @@ def candidate_edges_from_state(
         jaccard_distance,
         min_cosine,
         max_bucket,
+        broadcast_sides=n_mentions <= BROADCAST_MAX_MENTIONS,
     )
 
 
@@ -434,9 +471,12 @@ def _fused_edges(
     jaccard_distance: float,
     min_cosine: float,
     max_bucket: int | None,
+    broadcast_sides: bool = True,
 ) -> DataFrame:
     """Shared fused-path core over any feature source (recomputed or
-    stored): cap -> self-join -> cosine -> Jaccard -> dedup."""
+    stored): cap -> self-join -> cosine -> Jaccard -> dedup.
+    `broadcast_sides` gates the per-mention-side broadcast hints — False
+    above BROADCAST_MAX_MENTIONS, where AQE must pick the join strategy."""
     banded = _cap_hot_buckets(banded_src, max_bucket)
     a = banded.select(F.col("mention_id").alias("a_id"), "band_id", "band_hash")
     b = banded.select(F.col("mention_id").alias("b_id"), "band_id", "band_hash")
@@ -448,9 +488,9 @@ def _fused_edges(
     # stage 1: cosine prefilter; stage 2: exact-Jaccard verify on the
     # survivors only (shared helpers — see their docstrings for the
     # broadcast/shuffle rationale)
-    close = _cosine_filter(cand, embedded, min_cosine)
+    close = _cosine_filter(cand, embedded, min_cosine, broadcast_sides=broadcast_sides)
     return (
-        _jaccard_verify(close, hashed, jaccard_distance, broadcast_sides=True)
+        _jaccard_verify(close, hashed, jaccard_distance, broadcast_sides=broadcast_sides)
         .select("a_id", "b_id", "jaccard_dist", "cosine")
         .dropDuplicates(["a_id", "b_id"])
     )
@@ -787,17 +827,31 @@ def link_entities(
     corpus instead of two.
     """
     mentions = mention_table(triples).persist()
+    # one count: warms the persist for the three downstream consumers AND
+    # gates the fused verify's broadcast hints (BROADCAST_MAX_MENTIONS —
+    # at 10^8-10^9 mentions the hinted side stops fitting executor memory
+    # and AQE must pick the join from runtime sizes instead)
+    n_mentions = mentions.count()
     if state is not None and blocker == "banded":
         embedded = None
         edges = candidate_edges_from_state(
-            state, jaccard_distance, min_cosine, max_bucket=max_bucket
+            state,
+            jaccard_distance,
+            min_cosine,
+            max_bucket=max_bucket,
+            n_mentions=n_mentions,
         )
     elif blocker == "banded":
         embedded = embed_mentions(mentions).persist()
         # fused path: cosine prefilter BEFORE the exact-Jaccard verify
         # (same conjunction, ~5x less verify work — see candidate_edges)
         edges = candidate_edges(
-            mentions, embedded, jaccard_distance, min_cosine, max_bucket=max_bucket
+            mentions,
+            embedded,
+            jaccard_distance,
+            min_cosine,
+            max_bucket=max_bucket,
+            n_mentions=n_mentions,
         )
     else:
         embedded = embed_mentions(mentions).persist()
@@ -925,6 +979,14 @@ def incremental_canonical_mapping(
         return prior_mapping
     old_mentions = prior_mapping.select("mention", "mention_id")
     all_mentions = old_mentions.unionByName(fresh).persist()
+    # corpus size after the fold — gates the verify broadcast hints (the
+    # hinted sides are incident-RESTRICTED, so this bound is conservative;
+    # above BROADCAST_MAX_MENTIONS the hints drop and AQE still broadcasts
+    # an incident side that genuinely fits, from runtime sizes) and feeds
+    # the over-merge guard at the end. Both inputs are checkpointed —
+    # the counts are narrow-scan cheap.
+    n_total = prior_mapping.count() + fresh.count()
+    bc_sides = n_total <= BROADCAST_MAX_MENTIONS
     try:
         if prior_state is not None:
             # stored-state path: fresh features computed, old features read.
@@ -1015,9 +1077,9 @@ def incremental_canonical_mapping(
                 ).localCheckpoint(eager=False)  # broadcast twice (a/b sides)
             else:
                 inc_emb = emb_all.join(incident, "mention_id", "left_semi")
-            cand = _cosine_filter(cand, inc_emb, min_cosine)
+            cand = _cosine_filter(cand, inc_emb, min_cosine, broadcast_sides=bc_sides)
         edges = (
-            _jaccard_verify(cand, inc_hashed, jaccard_distance, broadcast_sides=True)
+            _jaccard_verify(cand, inc_hashed, jaccard_distance, broadcast_sides=bc_sides)
             .select("a_id", "b_id")
             .dropDuplicates(["a_id", "b_id"])
         )
@@ -1053,7 +1115,6 @@ def incremental_canonical_mapping(
             labels.groupBy("label").count().agg(F.max("count")).collect()[0][0]
             or 0
         )
-        n_total = prior_mapping.count() + fresh.count()
         if biggest > max(1000, n_total // 10):
             import warnings
 

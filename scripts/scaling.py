@@ -125,11 +125,11 @@ spark = get_spark(
 spark.sparkContext.setLogLevel("ERROR")
 state = spark.read.parquet({path!r}).repartition(4 * cores).persist()
 n_mentions = state.count()
-candidate_edges_from_state(state).count()  # untimed warm pass
+candidate_edges_from_state(state, n_mentions=n_mentions).count()  # untimed warm pass
 best = None
 for _ in range({iters}):
     t0 = time.time()
-    n_edges = candidate_edges_from_state(state).count()
+    n_edges = candidate_edges_from_state(state, n_mentions=n_mentions).count()
     dt = time.time() - t0
     if best is None or dt < best[0]:
         best = (dt, n_edges)

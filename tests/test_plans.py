@@ -71,6 +71,40 @@ def test_negative_sampling_plan_has_no_loop_joins(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_linking_broadcast_hints_gated_by_mention_count(spark):
+    """VERDICT r3 item 1: the fused verify's mention-side broadcast hints
+    must DROP above BROADCAST_MAX_MENTIONS (the hint overrides
+    autoBroadcastJoinThreshold, so an unconditional hint OOMs executors at
+    10^8-10^9 mentions) — above the ceiling AQE picks the strategy from
+    runtime sizes. Below the ceiling the hints stay (the benched small-SF
+    plan). Same edges either way."""
+    from openue_spark.pipeline.linking import (
+        candidate_edges,
+        embed_mentions,
+        mention_table,
+    )
+
+    rows = [(f"c{i}", i, f"entity alpha {i % 5}", 1, "p", f"entity beta {i % 5}") for i in range(40)]
+    triples = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, subj string, rel_id int, pred string, obj string"
+    )
+    mentions = mention_table(triples).persist()
+    embedded = embed_mentions(mentions).persist()
+    try:
+        small = candidate_edges(mentions, embedded, n_mentions=100)
+        big = candidate_edges(mentions, embedded, n_mentions=10**9)
+        small_logical = small._jdf.queryExecution().optimizedPlan().toString()
+        big_logical = big._jdf.queryExecution().optimizedPlan().toString()
+        assert "broadcast" in small_logical.lower(), small_logical
+        assert "broadcast" not in big_logical.lower(), big_logical
+        # correctness is regime-independent: identical edge sets
+        key = lambda r: (r.a_id, r.b_id)  # noqa: E731
+        assert sorted(map(key, small.collect())) == sorted(map(key, big.collect()))
+    finally:
+        mentions.unpersist()
+        embedded.unpersist()
+
+
 def test_dedup_groupby_is_partial_aggregated(spark):
     """The triple-table dedup (first shuffle of the job) must partial-
     aggregate map-side: two HashAggregate nodes around one Exchange, so
