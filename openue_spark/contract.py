@@ -477,6 +477,51 @@ def q_p4_gold_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_p4_subword_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 NER features under an INJECTED subword tokenizer — the
+    tokenizer-seam contract row (VERDICT r3 item 2: the reference registers
+    ONE tokenizer for all stages, data_module.py:25-35, so the TRAINING
+    builders must honor an injected vocab, not just extraction/serving).
+
+    Same gold synthesis as p4_gold_alignment (entities drawn from the
+    word-token window), but the builder runs with SubwordTokenizer(3)
+    broadcast through the seam: the haystack becomes WordPiece-shaped
+    pieces ('alphabet' -> alp ##hab ##et), entities locate as piece
+    subsequences, truncation happens in PIECE space (MAX_SEQ_LENGTH - 4
+    pieces — a word-window entity whose pieces fall past the budget is
+    unlocatable and drops its group), and the DuckDB oracle mirrors the
+    fixed-width piece split construct-for-construct in SQL. Labels (not
+    ids) are compared, like p4_gold_alignment."""
+    from .pipeline.features import MAX_WORDS, TOKEN_REGEX_SQL, build_gold_ner_features
+    from .tokenizer import SubwordTokenizer
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.expr(
+        f"slice(regexp_extract_all(lower(text), '{TOKEN_REGEX_SQL}', 0), 1, {MAX_WORDS})"
+    )
+    gold = (
+        "array("
+        " struct(element_at(tk, 2) AS subject, 'rel_a' AS predicate,"
+        "  concat(element_at(tk, -2), ' ', element_at(tk, -1)) AS object),"
+        " struct(concat(element_at(tk, 1), ' ', element_at(tk, 2)) AS subject,"
+        "  'rel_b' AS predicate, element_at(tk, -1) AS object),"
+        " struct('zzzmissing' AS subject, 'rel_c' AS predicate,"
+        "  element_at(tk, 1) AS object))"
+    )
+    corpus = (
+        docs.select(F.col("doc_id").alias("text_id"), "text", toks.alias("tk"))
+        .where(F.size("tk") >= 4)
+        .select("text_id", "text", F.expr(gold).alias("gold"))
+    )
+    bc = spark.sparkContext.broadcast(SubwordTokenizer(3))
+    feats = build_gold_ner_features(corpus, tokenizer_bc=bc)
+    return feats.select(
+        F.col("text_id").alias("doc_id"),
+        "pred",
+        F.array_join("labels", " ").alias("label_seq"),
+    )
+
+
 # --- SEQ training features: tokenize + multi-hot relation label with
 #     clamp and empty-gold drop (reference utils.py:335-379). Gold is
 #     synthesized from each doc's tokens with a DUPLICATED rel_a triple
@@ -1392,6 +1437,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "u4_marker_splice": q_u4_marker_splice,
         "p3_empty_gold_filter": q_p3_empty_gold_filter,
         "p4_gold_alignment": q_p4_gold_alignment,
+        "p4_subword_alignment": q_p4_subword_alignment,
         "seq_gold_features": q_seq_gold_features,
         "interactive_gold_features": q_interactive_gold_features,
         "j2_token_locate": q_j2_token_locate,
@@ -1425,10 +1471,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
-        "embedding_dedup_keep": q_embedding_dedup_keep,
         # ---- driver-window tail (position > 50): rows-only pipelines with
         # green head proxies, then relational-breadth variants of already-
-        # green operators. selfcheck.py still exercises every entry. ----
+        # green operators. selfcheck.py still exercises every entry.
+        # embedding_dedup_keep moved here in r4 to make room for the
+        # tokenizer-seam row: its keep policy is head-checked via
+        # minhash_dedup_keep and its pair detection via
+        # embedding_near_dup_bucketed, so it was the most redundant head
+        # entry; its oracle still runs in selfcheck. ----
+        "embedding_dedup_keep": q_embedding_dedup_keep,
         "extract_triples": q_extract_triples,
         "link_canonical_triples": q_link_canonical_triples,
         "agg_pricing_summary": q_agg_pricing_summary,
@@ -1625,6 +1676,54 @@ _DUCK_P4 = (
     "  FROM locs WHERE spos IS NOT NULL AND opos IS NOT NULL)"
     " SELECT doc_id, pred, array_to_string(labels, ' ') AS label_seq FROM lab"
 )
+
+
+def _duck_pieces(expr: str) -> str:
+    """SQL mirror of tokenizer.SubwordTokenizer(3).pieces over a WORD-LIST
+    expression: each word split into fixed 3-char chunks, chunk 2+ prefixed
+    '##'. DuckDB range(1, len+1, 3) == the tokenizer's range(0, len, 3)."""
+    return (
+        f"flatten(list_transform({expr}, w -> list_transform("
+        "range(1, length(w) + 1, 3), i -> CASE WHEN i = 1 THEN substr(w, 1, 3)"
+        " ELSE '##' || substr(w, i, 3) END)))"
+    )
+
+
+def _duck_p4_subword() -> str:
+    from .config import MAX_SEQ_LENGTH
+
+    max_pieces = MAX_SEQ_LENGTH - 4  # NER budget minus the 2 encode specials
+    full_words = f"regexp_extract_all(lower(text), '{_P4_TOKEN_REGEX}')"
+    return (
+        "WITH base AS (SELECT doc_id,"
+        f" (regexp_extract_all(lower(text), '{_P4_TOKEN_REGEX}'))[1:{_p4_max_words()}] AS tk,"
+        f" {_duck_pieces(full_words)}[1:{max_pieces}] AS ptk"
+        f" FROM documents WHERE len((regexp_extract_all(lower(text),"
+        f" '{_P4_TOKEN_REGEX}'))[1:{_p4_max_words()}]) >= 4),"
+        " g AS ("
+        "  SELECT doc_id, ptk, 'rel_a' AS pred, [tk[2]] AS subj_w, tk[-2:] AS obj_w FROM base"
+        "  UNION ALL SELECT doc_id, ptk, 'rel_b', tk[1:2], [tk[-1]] FROM base"
+        "  UNION ALL SELECT doc_id, ptk, 'rel_c', ['zzzmissing'], [tk[1]] FROM base),"
+        " h AS (SELECT doc_id, pred,"
+        f"  {_duck_pieces('subj_w')} AS subj, {_duck_pieces('obj_w')} AS obj,"
+        "  ['[CLS]'] || ptk || ['[SEP]', '[' || pred || ']', '[SEP]'] AS hay FROM g),"
+        " locs AS (SELECT doc_id, pred, hay,"
+        f"  {_duck_locate('subj')} AS spos, len(subj) AS slen,"
+        f"  {_duck_locate('obj')} AS opos, len(obj) AS olen FROM h),"
+        " lab AS (SELECT doc_id, pred, list_transform(range(1, len(hay) + 1),"
+        "  p -> CASE"
+        "   WHEN p = 1 THEN 'CLS'"
+        "   WHEN p = len(hay) THEN 'SEP'"
+        "   WHEN p = len(hay) - 1 THEN 'Relation'"
+        "   WHEN p = len(hay) - 2 THEN 'SEP'"
+        "   WHEN p = opos THEN 'B-OBJ'"
+        "   WHEN p > opos AND p < opos + olen THEN 'I-OBJ'"
+        "   WHEN p = spos THEN 'B-SUB'"
+        "   WHEN p > spos AND p < spos + slen THEN 'I-SUB'"
+        "   ELSE 'O' END) AS labels"
+        "  FROM locs WHERE spos IS NOT NULL AND opos IS NOT NULL)"
+        " SELECT doc_id, pred, array_to_string(labels, ' ') AS label_seq FROM lab"
+    )
 
 
 # --- DuckDB mirror of the linking relational core (char-3-gram shingles,
@@ -2033,6 +2132,7 @@ def oracle_sql() -> dict[str, str]:
             " HAVING count(DISTINCT CASE WHEN value > 120.0 THEN event_type END) > 0"
         ),
         "p4_gold_alignment": _DUCK_P4,
+        "p4_subword_alignment": _duck_p4_subword(),
         "interactive_gold_features": (
             "WITH base AS (SELECT doc_id,"
             f" (regexp_extract_all(lower(text), '{_P4_TOKEN_REGEX}'))[1:{_p4_max_words()}] AS tk"

@@ -341,3 +341,119 @@ def test_interactive_locate_is_inclusive_at_text_end(spark):
     df = spark.createDataFrame(rows, CORPUS_SCHEMA)
     t = tuple(build_interactive_features(df).collect()[0].triples[0])
     assert t[:4] == (1, 2, 1, 3)
+
+
+# --- injectable tokenizer seam through the TRAINING builders (VERDICT r3
+#     item 2: the reference registers ONE tokenizer for all stages,
+#     data_module.py:25-35 — extraction, serving, and these builders must
+#     all honor the same injected object) ---
+
+
+def _rows_sorted(df):
+    return sorted(
+        [tuple(str(v) for v in r) for r in df.collect()]
+    )
+
+
+def test_tokenizer_seam_word_tokenizer_is_bit_identical(spark):
+    """Injecting the default WordTokenizer through every builder must equal
+    the column-algebra path exactly (crc32 ids and the token regex agree by
+    construction) — the seam cannot fork semantics when the vocab is the
+    built-in one."""
+    from openue_spark.pipeline.features import (
+        build_gold_ner_features,
+        build_interactive_features,
+        build_seq_features,
+    )
+    from openue_spark.tokenizer import WordTokenizer
+
+    rows = [
+        (0, "alpha beta gamma delta", [("beta", "works_at", "gamma delta")]),
+        (1, "x " * 300, [("x", "works_at", "x x")]),  # truncation boundary
+        (2, "no gold here", []),
+        (3, "Unicode ÉMOJI 🎉 text", [("émoji", "born_in", "text")]),
+    ]
+    df = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    bc = spark.sparkContext.broadcast(WordTokenizer())
+    for builder in (
+        build_gold_ner_features,
+        build_interactive_features,
+        build_seq_features,
+    ):
+        default = builder(df)
+        seam = builder(df, tokenizer_bc=bc)
+        assert default.columns == seam.columns
+        assert _rows_sorted(default) == _rows_sorted(seam), builder.__name__
+
+
+def test_tokenizer_seam_subword_ner_golden(spark):
+    """SubwordTokenizer(3) through the NER builder: the haystack is PIECES,
+    spans align to piece boundaries, ids are the tokenizer's own — a
+    real-vocab deployment gets gold features on its vocabulary, not the
+    word-level one."""
+    from openue_spark.config import CLS_ID, REL_TOKEN_BASE, SEP_ID, PREDICATES
+    from openue_spark.pipeline.features import build_gold_ner_features
+    from openue_spark.tokenizer import SubwordTokenizer, word_id
+
+    tok = SubwordTokenizer(3)
+    bc = spark.sparkContext.broadcast(tok)
+    rows = [(0, "alphabet beta", [("alphabet", "works_at", "beta")])]
+    df = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    out = build_gold_ner_features(df, tokenizer_bc=bc).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r.hay == [
+        "[CLS]", "alp", "##hab", "##et", "bet", "##a",
+        "[SEP]", "[works_at]", "[SEP]",
+    ]
+    assert r.labels == [
+        "CLS", "B-SUB", "I-SUB", "I-SUB", "B-OBJ", "I-OBJ",
+        "SEP", "Relation", "SEP",
+    ]
+    k = list(PREDICATES).index("works_at")
+    assert r.input_ids == (
+        [CLS_ID]
+        + [word_id(p) for p in ["alp", "##hab", "##et", "bet", "##a"]]
+        + [SEP_ID, REL_TOKEN_BASE + k, SEP_ID]
+    )
+
+
+def test_tokenizer_seam_seq_ids_are_tokenizer_encode(spark):
+    """SEQ features under an injected tokenizer carry encode()'s ids
+    verbatim at the FULL MAX_SEQ_LENGTH budget; labels stay gold-derived."""
+    from openue_spark.config import MAX_SEQ_LENGTH
+    from openue_spark.pipeline.features import build_seq_features
+    from openue_spark.tokenizer import SubwordTokenizer
+
+    tok = SubwordTokenizer(3)
+    bc = spark.sparkContext.broadcast(tok)
+    text = "alphabet beta gamma"
+    rows = [(0, text, [("alphabet", "works_at", "beta"),
+                       ("beta", "works_at", "gamma")])]
+    df = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    r = build_seq_features(df, tokenizer_bc=bc).collect()[0]
+    ids, _ = tok.encode(text, MAX_SEQ_LENGTH)
+    assert r.input_ids == ids
+    assert r.attention_mask == [1] * len(ids)
+    assert sum(r.label_ids) == 1 and r.n_schema_triples == 2
+
+
+def test_tokenizer_seam_matches_extraction_tokenizer(spark):
+    """One broadcast tokenizer registered across stages (the reference's
+    data_module contract): the NER builder's non-special input_ids must be
+    a prefix-consistent view of what extraction's scorer tokenizes for the
+    same text — both call the SAME broadcast object's encode."""
+    from openue_spark.config import MAX_SEQ_LENGTH
+    from openue_spark.pipeline.features import build_gold_ner_features
+    from openue_spark.tokenizer import SubwordTokenizer
+
+    tok = SubwordTokenizer(4)
+    bc = spark.sparkContext.broadcast(tok)
+    text = "delta epsilon zeta"
+    rows = [(0, text, [("delta", "works_at", "zeta")])]
+    df = spark.createDataFrame(rows, CORPUS_SCHEMA)
+    r = build_gold_ner_features(df, tokenizer_bc=bc).collect()[0]
+    ids, words = tok.encode(text, MAX_SEQ_LENGTH - 2)
+    # hay strips to: [CLS] words... [SEP] marker [SEP]; ids align 1:1
+    assert r.hay[1:-3] == words
+    assert r.input_ids[1:-3] == ids[1:-1]
