@@ -79,6 +79,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         " spark read format",
     )
     parser.add_argument(
+        "--subword-piece-len", type=int, default=None, metavar="N",
+        help="extract with the shipped WordPiece-shaped SubwordTokenizer(N)"
+        " broadcast through the tokenizer seam instead of the default"
+        " word-level tokenizer (the seam accepts any encode(text,"
+        " max_length) -> (ids, words) object programmatically; this flag"
+        " exposes the shipped instance). The extraction manifest keys"
+        " resume lineage by (weights, tokenizer), so switching tokenizers"
+        " never reuses shards extracted under another one",
+    )
+    parser.add_argument(
         "--weights-from",
         help="load the best (metric, step) weights checkpoint from this dir's"
         " checkpoints/ table and broadcast it to the extraction UDFs"
@@ -148,6 +158,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         checkpoint_id=f"{run_id}-deployed",
     )
     weights_bc = spark.sparkContext.broadcast(weights)
+    tokenizer_bc = None
+    if args.subword_piece_len is not None:
+        from openue_spark.tokenizer import SubwordTokenizer
+
+        tokenizer_bc = spark.sparkContext.broadcast(
+            SubwordTokenizer(args.subword_piece_len)
+        )
+        print(f"[job] extracting with SubwordTokenizer({args.subword_piece_len})")
     if args.input:
         from openue_spark.sources import read_transcripts
 
@@ -176,7 +194,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     else:
         extract_dir = args.out
     raw = run_extraction_resumable(
-        spark, transcripts, extract_dir, n_shards=args.shards, weights_bc=weights_bc
+        spark, transcripts, extract_dir, n_shards=args.shards,
+        weights_bc=weights_bc, tokenizer_bc=tokenizer_bc,
     )
     n_raw = raw.count()
     print(f"[job] extraction complete: {n_raw} raw triples ({time.time() - t0:.1f}s)")

@@ -36,19 +36,30 @@ MANIFEST_SCHEMA = (
 )
 
 
-def _weights_sha(weights_bc) -> str:
-    """Fingerprint of the weights bundle a shard was extracted under.
-    Resume must NOT skip shards extracted under different weights — the
-    manifest's input fingerprint covers rows, not model parameters."""
+def _weights_sha(weights_bc, tokenizer_bc=None) -> str:
+    """Fingerprint of the (weights, tokenizer) pair a shard was extracted
+    under. Resume must NOT skip shards extracted under different weights
+    OR a different tokenizer — the manifest's input fingerprint covers
+    rows, not model parameters, and a tokenizer swap changes every triple
+    just as surely as a weights swap. The reference keys its feature
+    cache by tokenizer class the same way (utils.py:223-302). The default
+    word-level tokenizer hashes as a fixed tag, so pre-seam manifests
+    stay resumable."""
     import hashlib
     import pickle
 
     from ..mock_models import MockWeights
 
     bundle = weights_bc.value if weights_bc is not None else MockWeights.default()
-    return hashlib.sha256(
-        pickle.dumps(bundle, protocol=pickle.HIGHEST_PROTOCOL)
-    ).hexdigest()
+    payload = pickle.dumps(bundle, protocol=pickle.HIGHEST_PROTOCOL)
+    if tokenizer_bc is not None:
+        # appended ONLY for injected tokenizers, so default-tokenizer
+        # lineage hashes exactly as it did pre-seam and old manifests
+        # stay resumable
+        payload += b"|tok|" + pickle.dumps(
+            tokenizer_bc.value, protocol=pickle.HIGHEST_PROTOCOL
+        )
+    return hashlib.sha256(payload).hexdigest()
 
 
 def dedup_triples_salted(raw_triples: DataFrame, salt_buckets: int = 16) -> DataFrame:
@@ -141,6 +152,7 @@ def run_extraction_resumable(
     stage: str = "extract",
     fail_after_shards: int | None = None,
     weights_bc=None,
+    tokenizer_bc=None,
 ) -> DataFrame:
     """Sharded, checkpoint-resumable extraction run.
 
@@ -168,7 +180,7 @@ def run_extraction_resumable(
     Returns the complete triple table read back from out_dir.
     """
     run_id = uuid.uuid4().hex[:12]
-    wsha = _weights_sha(weights_bc)
+    wsha = _weights_sha(weights_bc, tokenizer_bc)
     manifest = read_manifest(spark, out_dir).where(F.col("stage") == stage)
     # a manifest written under a different shard count means the shard->
     # conv_id mapping changed: nothing recorded is reusable, and stale
@@ -239,7 +251,7 @@ def run_extraction_resumable(
         # fresh batched path: one extraction job, one partitioned write
         t0 = time.time()
         triples = extract_triples(
-            sharded, weights_bc=weights_bc
+            sharded, weights_bc=weights_bc, tokenizer_bc=tokenizer_bc
         ).withColumn("shard", shard_of(F.col("conv_id"), n_shards))
         (
             triples.write.mode("overwrite")
@@ -256,7 +268,8 @@ def run_extraction_resumable(
         # partitionBy writes no dir for an empty shard; the read-back uses
         # explicit shard paths, so materialize empties explicitly
         empty = extract_triples(
-            sharded.where(F.lit(False)), weights_bc=weights_bc
+            sharded.where(F.lit(False)), weights_bc=weights_bc,
+            tokenizer_bc=tokenizer_bc,
         )
         for s in range(n_shards):
             if counts.get(s, 0) == 0:
@@ -293,7 +306,9 @@ def run_extraction_resumable(
         for shard in missing:
             t0 = time.time()
             part = sharded.where(F.col("shard") == shard).drop("shard")
-            triples = extract_triples(part, weights_bc=weights_bc)
+            triples = extract_triples(
+                part, weights_bc=weights_bc, tokenizer_bc=tokenizer_bc
+            )
             (
                 triples.write.mode("overwrite")
                 .parquet(f"{out_dir}/triples/shard={shard}")

@@ -115,3 +115,31 @@ def test_job_increment_requires_prior_linked_run(spark, tmp_path):
             ["--synthesize", "500", "--increment", "--out", out, "--shards", "2"],
             spark=spark,
         )
+
+
+def test_job_subword_tokenizer_flag(spark, tmp_path):
+    """--subword-piece-len runs the whole job on the injected tokenizer:
+    the graph's mention vocabulary is piece-shaped (##-continuations
+    present) and the extraction equals a direct seam extraction."""
+    from openue_spark.job import main
+    from openue_spark.pipeline import extract_triples
+    from openue_spark.fixtures import transcripts_spark
+    from openue_spark.tokenizer import SubwordTokenizer
+
+    out = str(tmp_path / "kg_sub")
+    rc = main(
+        ["--synthesize", "1500", "--out", out, "--no-link", "--shards", "2",
+         "--subword-piece-len", "3"],
+        spark=spark,
+    )
+    assert rc == 0
+    triples = spark.read.parquet(f"{out}/triples")
+    bc = spark.sparkContext.broadcast(SubwordTokenizer(3))
+    expect = extract_triples(transcripts_spark(spark, 1500), tokenizer_bc=bc)
+    key = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    assert sorted(map(tuple, triples.select(key).collect())) == sorted(
+        map(tuple, expect.select(key).collect())
+    )
+    # piece-shaped surface forms made it into the graph vocabulary
+    graph = spark.read.parquet(f"{out}/graph")
+    assert graph.where(F.col("subj").contains("##") | F.col("obj").contains("##")).count() > 0

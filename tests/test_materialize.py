@@ -187,3 +187,41 @@ def test_resume_revalidates_input_fingerprint(spark, tmp_path):
 
     with pytest.raises(ValueError, match="different --shards"):
         run_extraction_resumable(spark, other, out, n_shards=1)
+
+
+def test_resume_does_not_mix_tokenizer_regimes(spark, tmp_path):
+    """Same idea as the weights-regime test, for the tokenizer seam: shards
+    completed under the word-level default must NOT satisfy a resume under
+    an injected subword tokenizer (and vice versa) — a tokenizer swap
+    changes every triple, so lineage keys on (weights, tokenizer). The
+    reference keys its feature cache by tokenizer class the same way
+    (utils.py:223-302)."""
+    from openue_spark.fixtures import transcripts_spark
+    from openue_spark.pipeline import extract_triples
+    from openue_spark.pipeline.materialize import (
+        read_manifest,
+        run_extraction_resumable,
+    )
+    from openue_spark.tokenizer import SubwordTokenizer
+
+    out = str(tmp_path / "out")
+    turns = transcripts_spark(spark, 600)
+    run_extraction_resumable(spark, turns, out, n_shards=2)
+
+    bc = spark.sparkContext.broadcast(SubwordTokenizer(3))
+    got = run_extraction_resumable(spark, turns, out, n_shards=2, tokenizer_bc=bc)
+    m = read_manifest(spark, out)
+    assert m.count() == 4  # 2 shards x 2 tokenizer regimes
+    assert m.select("weights_sha").distinct().count() == 2
+
+    # the read-back is the SUBWORD extraction, not a stale word-level skip
+    key = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    expect = sorted(
+        tuple(r) for r in extract_triples(turns, tokenizer_bc=bc).select(key).collect()
+    )
+    assert sorted(tuple(r) for r in got.select(key).collect()) == expect
+
+    # same-tokenizer resume still skips everything (no 5th manifest row)
+    bc2 = spark.sparkContext.broadcast(SubwordTokenizer(3))
+    run_extraction_resumable(spark, turns, out, n_shards=2, tokenizer_bc=bc2)
+    assert read_manifest(spark, out).count() == 4
