@@ -71,6 +71,34 @@ def test_negative_sampling_plan_has_no_loop_joins(spark):
     assert "BroadcastNestedLoopJoin" not in plan, plan
 
 
+def test_seam_feature_builder_plan_is_shuffle_free(spark):
+    """The injected-tokenizer NER builder must keep the default path's
+    shape: per-sentence work rides input partitions at any scale. The
+    CollapseProject barrier (lazy localCheckpoint) splits the visible
+    plan, so both halves are pinned: the Arrow tokenize stage is ONE
+    MapInPandas with no Exchange, and the post-barrier locate/fold tail
+    is pure narrow column algebra over the barrier scan."""
+    from openue_spark.config import MAX_SEQ_LENGTH
+    from openue_spark.pipeline.features import (
+        _tokenized_gold_arrow,
+        build_gold_ner_features,
+    )
+    from openue_spark.tokenizer import SubwordTokenizer
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma", [("alpha", "works_at", "beta")])],
+        "text_id long, text string,"
+        " gold array<struct<subject string, predicate string, object string>>",
+    )
+    bc = spark.sparkContext.broadcast(SubwordTokenizer(3))
+    head = _plan(_tokenized_gold_arrow(df, bc, MAX_SEQ_LENGTH - 2))
+    assert "Exchange" not in head, head
+    assert head.count("MapInPandas") == 1, head
+    tail = _plan(build_gold_ner_features(df, tokenizer_bc=bc))
+    assert "Exchange" not in tail, tail
+    assert "Scan ExistingRDD" in tail, tail  # the pre-locate barrier
+
+
 def test_linking_broadcast_hints_gated_by_mention_count(spark):
     """VERDICT r3 item 1: the fused verify's mention-side broadcast hints
     must DROP above BROADCAST_MAX_MENTIONS (the hint overrides
