@@ -214,21 +214,23 @@ def main() -> int:
                     for d in draws
                 ],
                 # The other two scaling tiers, RECORDED (VERDICT r3 asked
-                # for them in the artifact of record): quiet-window
-                # taskset-pinned anchors measured on the round-3 final
-                # code with scripts/scaling.py --link / --job (full
+                # for them in the artifact of record): taskset-pinned
+                # anchors from scripts/scaling.py --link / --job (full
                 # methodology + per-draw walls in BASELINE.md "three-tier"
-                # table). Not re-measured per bench run — the full-job
-                # pair alone costs ~45 min at 12M turns; reproduce with
-                # scripts/scaling.py.
+                # table; linking anchor is the round-3 quiet window —
+                # the round-4 re-measure read 0.773 in a 1-2%-steal
+                # window with the 2-core point within 2% of the anchor;
+                # full-job anchors re-measured on round-4 code). Not
+                # re-measured per bench run — the 12M full-job pair
+                # alone costs ~45 min; reproduce with scripts/scaling.py.
                 "scaling_anchors_recorded": {
                     "linking_verify_2p4M_turns": {
                         "eff_2_to_8": 0.836,
                         "edges_per_sec": {"2": 37535, "8": 125549},
                     },
                     "full_job_600k_turns": {
-                        "eff_2_to_8": 0.429,
-                        "note": "wall = W/K + c; serial term c ~= 37 s of"
+                        "eff_2_to_8": 0.511,
+                        "note": "wall = W/K + c; serial term c ~= 26 s of"
                         " per-job orchestration, amortizes with input size",
                     },
                     "full_job_12M_turns": {"eff_2_to_8": 0.627},
