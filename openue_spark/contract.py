@@ -49,7 +49,23 @@ def _tune_runtime(spark: SparkSession) -> None:
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _tune_runtime(spark)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    # The driver testdata is small SINGLE-ROW-GROUP parquet (one file, one
+    # row group per table), which Spark cannot split: without this, every
+    # downstream narrow stage over the CORPUS tables — minhash signatures,
+    # simhash fingerprints, P4 locate folds, embedding quantization — runs
+    # in ONE task on a 32-core session (the small-parquet coalesce gotcha,
+    # at the harness boundary; measured simhash fingerprints 2.7 s serial
+    # for 6000 docs, 4x the whole query's parallel wall). The sub-MB
+    # round-robin shuffle spreads the corpus the way a production table
+    # arrives anyway (many files / row groups). Corpus tables ONLY: the
+    # relational dims (supplier/customer/...) feed joins where spreading
+    # is pure overhead (kg_negative_samples measured 2x SLOWER with its
+    # dims spread), and at real scale no input needs this at all — the
+    # operators themselves take inputs verbatim.
+    if name in ("documents", "embeddings"):
+        return df.repartition(spark.sparkContext.defaultParallelism)
+    return df
 
 
 def _sf_turns(sf_dir: str) -> int:
