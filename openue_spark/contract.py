@@ -47,7 +47,9 @@ def _tune_runtime(spark: SparkSession) -> None:
             pass  # a conf locked by the host session is not worth failing over
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, spread: bool = True
+) -> DataFrame:
     _tune_runtime(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     # The driver testdata is small SINGLE-ROW-GROUP parquet (one file, one
@@ -63,7 +65,10 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # is pure overhead (kg_negative_samples measured 2x SLOWER with its
     # dims spread), and at real scale no input needs this at all — the
     # operators themselves take inputs verbatim.
-    if name in ("documents", "embeddings"):
+    # spread=False opts a query out even for corpus tables — right when
+    # the FIRST operation is itself a shuffle (e.g. dedup_exact's groupBy:
+    # the pre-spread is a wasted exchange, measured +0.2 s).
+    if spread and name in ("documents", "embeddings"):
         return df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
@@ -224,7 +229,7 @@ def q_u4_marker_splice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _t(spark, sf_dir, "documents")
+        _t(spark, sf_dir, "documents", spread=False)
         .groupBy(F.md5(F.col("text")).alias("text_hash"))
         .agg(
             F.min("doc_id").alias("keep_doc_id"),
