@@ -145,6 +145,8 @@ def _shingled_mentions(mentions: DataFrame) -> DataFrame:
     """
     out = mentions.select(
         "mention_id",
+        "mention",  # carried for the hot-bucket chunk sort key; pruned
+        # by Catalyst wherever a consumer never references it
         F.array_distinct(
             F.expr(
                 "transform(sequence(1, greatest(1, length(mention) - 2)),"
@@ -179,12 +181,16 @@ def _band_hash_exprs(n_hashes: int, n_bands: int) -> list:
 
 
 def _banded_signatures(shingled: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
-    """(mention_id, band_id, band_hash): minhash sigs folded into band
-    hashes and exploded one row per band (shared blocking construction)."""
-    sigs = shingled.select("mention_id", *_sig_cols(n_hashes))
+    """(mention_id[, mention], band_id, band_hash): minhash sigs folded into
+    band hashes and exploded one row per band (shared blocking
+    construction). `mention` rides along when the source carries it — the
+    hot-bucket chunk sort key needs it; pruned where unreferenced."""
+    extra = ["mention"] if "mention" in shingled.columns else []
+    sigs = shingled.select("mention_id", *extra, *_sig_cols(n_hashes))
     bands = _band_hash_exprs(n_hashes, n_bands)
     return sigs.select(
         "mention_id",
+        *extra,
         F.explode(
             F.array(
                 *[
@@ -193,7 +199,7 @@ def _banded_signatures(shingled: DataFrame, n_hashes: int, n_bands: int) -> Data
                 ]
             )
         ).alias("bh"),
-    ).select("mention_id", "bh.band_id", "bh.band_hash")
+    ).select("mention_id", *extra, "bh.band_id", "bh.band_hash")
 
 
 def mention_state(mentions: DataFrame, n_hashes: int = 16, n_bands: int = 8) -> DataFrame:
@@ -370,27 +376,90 @@ def _cosine_filter(
     )
 
 
-def _cap_hot_buckets(banded: DataFrame, max_bucket: int | None) -> DataFrame:
-    """Drop band buckets larger than max_bucket BEFORE the self-join.
+# Rows of chunk k whose within-chunk rank is < _CAP_CHUNK_OVERLAP are also
+# emitted into chunk k-1, chaining adjacent chunks of a hot bucket through
+# the verify + connected components (see _chunk_hot_buckets).
+_CAP_CHUNK_OVERLAP = 8
+# Chunk size for buckets OVER the max_bucket threshold. Decoupled from the
+# threshold: buckets <= max_bucket keep exact full pairing; bigger buckets
+# pay O(B * _CAP_CHUNK_SIZE) candidates. The measured recall/wall tradeoff
+# (60k-turn pairwise component recall vs uncapped / 600k-turn verify wall
+# at local[32]) that picked 128:
+#   drop-the-bucket (round 3): R 0.889 /  7.2 s     C=64:  R 0.947 / 12.9 s
+#   C=16: R 0.932 /  7.5 s                          C=128: R 0.954 / 15.5 s
+#   C=32: R 0.938 / 11.2 s                          C=256: R 0.964 / 28.6 s
+_CAP_CHUNK_SIZE = 128
+
+
+def _chunk_hot_buckets(banded: DataFrame, max_bucket: int) -> DataFrame:
+    """Split band buckets larger than max_bucket into overlapping chunks
+    BEFORE the self-join (sorted-neighborhood blocking within the bucket).
 
     Repetitive surface-form vocabularies concentrate minhashes: at the
     200k-turn profile the hottest of 8x62k band buckets held 18,281
     mentions — that single bucket alone is 167M candidate pairs, and the
     raw candidate stream reached 512M rows (the whole linking stage was
-    ~85% this join's payload shipping). A mention pair in a dropped bucket
-    still meets through any of its other n_bands-1 bands: at J >= 0.6 the
-    per-band match probability is J^2 ~= 0.36, so P(some other band) =
-    1-(1-0.36)^7 ~= 0.956 — and genuinely-dense clusters (higher J) are
-    near-certain. Same df-cap idea as ops.dedup.ngram_jaccard_pairs; the
-    count is a window over the join key, no extra shuffle boundary.
+    ~85% this join's payload shipping).
+
+    Round 3 DROPPED over-cap buckets outright, arguing a dropped pair still
+    meets through one of its other n_bands-1 bands (analytically ~0.956 at
+    J >= 0.6). MEASURED at 60k fixture turns (23,445 mentions) that claim
+    fails: the same hot vocabulary concentrates in ALL bands, so edge
+    recall vs uncapped was 0.7475 and pairwise component recall 0.889 —
+    dense clusters living only in hot buckets shattered into singletons.
+
+    This version keeps candidate volume bounded at O(B * _CAP_CHUNK_SIZE)
+    per over-threshold bucket instead of O(B^2) but never orphans a
+    mention: rows get row_number() within the bucket; buckets at or below
+    max_bucket land whole in chunk 0 (pair set byte-identical to the
+    uncapped join for them), bigger buckets split into chunks of
+    C = min(_CAP_CHUNK_SIZE, max_bucket) rows, and the first
+    _CAP_CHUNK_OVERLAP rows of each chunk k>0 are ALSO emitted into chunk
+    k-1 (one explode, no second window pass). The self-join key gains
+    `chunk`, so pairs form only within a chunk; overlap rows that survive
+    the cosine+Jaccard verify chain adjacent chunks of a genuinely-dense
+    cluster into one connected component, while vocabulary-collision
+    buckets stay split (their cross-chunk pairs would have failed the
+    verify anyway). Capped edges remain a SUBSET of uncapped edges, so
+    pairwise precision vs the uncapped clustering is 1.0 by construction.
+
+    Chunk ORDER is sorted-neighborhood's whole trick: hot buckets
+    interleave several true clusters, so a similarity-blind order (raw
+    mention_id) puts cross-cluster pairs on the chain and the links fail
+    the verify. Rows sort by the mention string ROTATED by band_id
+    (substring from 1 + band_id*5 mod len, then the full string), giving
+    each of the n_bands buckets an independently-phased lexicographic
+    neighborhood — prefix-similar forms sort adjacent in band 0,
+    suffix-similar ones in some other band. Measured at the 60k fixture
+    (23,445 mentions, threshold 256 vs uncapped): pairwise component
+    recall 0.889 (round-3 drop) -> 0.929 (chunks, id order) -> 0.954
+    (rotated order, C=128); the full C/recall/wall curve is at
+    _CAP_CHUNK_SIZE above; pinned by tests/test_linking.py.
     """
-    if max_bucket is None:
-        return banded
-    w = Window.partitionBy("band_id", "band_hash")
+    if "mention" in banded.columns:
+        rot = F.expr(
+            "concat(substring(mention,"
+            " 1 + (band_id * 5) % greatest(length(mention), 1), 1000), mention)"
+        )
+        order = [rot, F.col("mention_id")]
+    else:
+        order = [F.col("mention_id")]
+    w = Window.partitionBy("band_id", "band_hash").orderBy(*order)
+    wsz = Window.partitionBy("band_id", "band_hash")
+    c = min(_CAP_CHUNK_SIZE, max_bucket)
+    ov = min(_CAP_CHUNK_OVERLAP, max(c - 1, 1))
+    rn, bsz = F.col("_rn"), F.col("_bsz")
+    over = bsz > max_bucket
+    chunk = F.when(over, F.floor(rn / c).cast("int")).otherwise(F.lit(0))
+    chunks = F.when(
+        over & (rn >= c) & (rn % c < ov),
+        F.array(chunk, chunk - F.lit(1)),
+    ).otherwise(F.array(chunk))
     return (
-        banded.withColumn("bsz", F.count(F.lit(1)).over(w))
-        .where(F.col("bsz") <= max_bucket)
-        .drop("bsz")
+        banded.withColumn("_rn", F.row_number().over(w) - 1)
+        .withColumn("_bsz", F.count(F.lit(1)).over(wsz))
+        .withColumn("chunk", F.explode(chunks))
+        .drop("_rn", "_bsz")
     )
 
 
@@ -453,7 +522,9 @@ def candidate_edges_from_state(
         n_mentions = state.count()
     return _fused_edges(
         state.select(
-            "mention_id", F.posexplode("band_hashes").alias("band_id", "band_hash")
+            "mention_id",
+            "mention",
+            F.posexplode("band_hashes").alias("band_id", "band_hash"),
         ),
         state.select("mention_id", "sh", "n_sh"),
         state.select("mention_id", "embedding"),
@@ -474,14 +545,18 @@ def _fused_edges(
     broadcast_sides: bool = True,
 ) -> DataFrame:
     """Shared fused-path core over any feature source (recomputed or
-    stored): cap -> self-join -> cosine -> Jaccard -> dedup.
+    stored): chunk hot buckets -> self-join -> cosine -> Jaccard -> dedup.
     `broadcast_sides` gates the per-mention-side broadcast hints — False
     above BROADCAST_MAX_MENTIONS, where AQE must pick the join strategy."""
-    banded = _cap_hot_buckets(banded_src, max_bucket)
-    a = banded.select(F.col("mention_id").alias("a_id"), "band_id", "band_hash")
-    b = banded.select(F.col("mention_id").alias("b_id"), "band_id", "band_hash")
+    if max_bucket is None:
+        banded, keys = banded_src, ["band_id", "band_hash"]
+    else:
+        banded = _chunk_hot_buckets(banded_src, max_bucket)
+        keys = ["band_id", "band_hash", "chunk"]
+    a = banded.select(F.col("mention_id").alias("a_id"), *keys)
+    b = banded.select(F.col("mention_id").alias("b_id"), *keys)
     cand = (
-        a.join(b, ["band_id", "band_hash"])
+        a.join(b, keys)
         .where(F.col("a_id") < F.col("b_id"))
         .select("a_id", "b_id")
     )
@@ -992,14 +1067,15 @@ def incremental_canonical_mapping(
             # stored-state path: fresh features computed, old features read.
             # The union is the increment's WHOLE feature cost — Θ(batch).
             state_all = prior_state.select(
-                "mention_id", "band_hashes", "sh", "n_sh", "embedding"
+                "mention_id", "mention", "band_hashes", "sh", "n_sh", "embedding"
             ).unionByName(
                 mention_state(fresh, n_hashes, n_bands).select(
-                    "mention_id", "band_hashes", "sh", "n_sh", "embedding"
+                    "mention_id", "mention", "band_hashes", "sh", "n_sh", "embedding"
                 )
             ).localCheckpoint(eager=False)
             banded_src = state_all.select(
                 "mention_id",
+                "mention",
                 F.posexplode("band_hashes").alias("band_id", "band_hash"),
             )
             hashed_all = state_all.select("mention_id", "sh", "n_sh")
@@ -1025,32 +1101,31 @@ def incremental_canonical_mapping(
             fresh.select("mention_id"), "mention_id", "left_semi"
         )
         if max_bucket is not None:
-            # Fresh-incident hot-bucket cap: _cap_hot_buckets' window would
-            # shuffle EVERY band row — a Θ(corpus) exchange hiding in a
-            # Θ(batch) fold. Only buckets containing a fresh mention can
-            # produce pairs, so the count (over each such bucket's FULL
-            # membership — the semi-join keeps all members, sizes stay
-            # exact) and the cap run on that subset alone.
+            # Fresh-incident hot-bucket chunking: _chunk_hot_buckets'
+            # window would shuffle EVERY band row — a Θ(corpus) exchange
+            # hiding in a Θ(batch) fold. Only buckets containing a fresh
+            # mention can produce pairs, so the chunk assignment (over each
+            # such bucket's FULL membership — the semi-join keeps all
+            # members, so rn/chunk match what a full recompute would
+            # assign) runs on that subset alone. The fresh side then picks
+            # its own rows' chunked copies back out by mention_id.
             fresh_buckets = fresh_banded.select("band_id", "band_hash").distinct()
             relevant = banded.join(
                 fresh_buckets, ["band_id", "band_hash"], "left_semi"
-            ).localCheckpoint(eager=False)  # counted AND joined below
-            ok_buckets = (
-                relevant.groupBy("band_id", "band_hash")
-                .agg(F.count(F.lit(1)).alias("bsz"))
-                .where(F.col("bsz") <= max_bucket)
-                .select("band_id", "band_hash")
+            ).localCheckpoint(eager=False)  # windowed once, joined twice
+            chunked = _chunk_hot_buckets(relevant, max_bucket).localCheckpoint(
+                eager=False
             )
-            x_src = fresh_banded.join(ok_buckets, ["band_id", "band_hash"], "left_semi")
-            y_src = relevant.join(ok_buckets, ["band_id", "band_hash"], "left_semi")
+            x_src = chunked.join(fresh.select("mention_id"), "mention_id", "left_semi")
+            y_src = chunked
+            join_keys = ["band_id", "band_hash", "chunk"]
         else:
             x_src, y_src = fresh_banded, banded
-        x = x_src.select(
-            F.col("mention_id").alias("x_id"), "band_id", "band_hash"
-        )
-        y = y_src.select(F.col("mention_id").alias("y_id"), "band_id", "band_hash")
+            join_keys = ["band_id", "band_hash"]
+        x = x_src.select(F.col("mention_id").alias("x_id"), *join_keys)
+        y = y_src.select(F.col("mention_id").alias("y_id"), *join_keys)
         cand = (
-            x.join(y, ["band_id", "band_hash"])
+            x.join(y, join_keys)
             .where(F.col("x_id") != F.col("y_id"))
             .select(
                 F.least("x_id", "y_id").alias("a_id"),

@@ -202,8 +202,91 @@ def test_candidate_edges_hot_bucket_cap(spark):
         for r in candidate_edges(mentions, emb, 0.6, 0.85).collect()
     }
     assert dflt == fused
-    capped = candidate_edges(mentions, emb, 0.6, 0.85, max_bucket=2).count()
-    assert capped < len(fused)
+    capped = {
+        (r.a_id, r.b_id)
+        for r in candidate_edges(mentions, emb, 0.6, 0.85, max_bucket=2).collect()
+    }
+    assert len(capped) < len(fused)  # chunking bounds candidate volume...
+    assert capped <= fused  # ...and capped edges stay a subset of uncapped
+
+
+def test_chunked_cap_keeps_dense_cluster_connected(spark):
+    """The round-4 cap redesign's guarantee: a genuinely-dense near-dup
+    cluster whose members co-occur in over-cap buckets is NOT shattered —
+    the overlap chain links its chunks into ONE connected component even
+    at cap=2 (the round-3 drop-the-bucket cap left every member a
+    singleton here)."""
+    from pyspark.sql import functions as F
+
+    from openue_spark.pipeline.linking import (
+        candidate_edges,
+        connected_components,
+        embed_mentions,
+    )
+
+    # 30 near-identical surface forms: pairwise char-3-gram Jaccard is high,
+    # so every adjacent chain pair passes the verify
+    rows = [(f"consolidated freight holdings unit {i:02d}",) for i in range(30)]
+    mentions = spark.createDataFrame(rows, "mention string").withColumn(
+        "mention_id", F.xxhash64("mention")
+    ).persist()
+    emb = embed_mentions(mentions).persist()
+    capped = candidate_edges(mentions, emb, 0.6, 0.85, max_bucket=2).persist()
+    full = candidate_edges(mentions, emb, 0.6, 0.85, max_bucket=None).persist()
+    n_capped, n_full = capped.count(), full.count()
+    assert 0 < n_capped < n_full  # volume genuinely bounded
+    labels = connected_components(mentions, capped)
+    assert labels.select("label").distinct().count() == 1  # one component
+
+
+@pytest.mark.slow
+def test_chunked_cap_recall_at_corpus_scale(spark):
+    """Regression-pin the hot-bucket cap's measured quality at fixture
+    scale (VERDICT r3 item 4): capped(256)-vs-uncapped candidate edges on
+    the 60k-turn corpus (23,445 mentions — buckets well past the cap).
+    Round-3's drop-the-bucket cap measured edge recall 0.7475 / pairwise
+    component recall 0.889 here (its docstring claimed ~0.956
+    analytically — wrong: hot vocabulary concentrates in ALL bands); the
+    rotated-sort chunk chain at the default C=128 measured 0.8330 /
+    0.9537 (full tradeoff curve at linking._CAP_CHUNK_SIZE).
+    Deterministic fixtures + hashes, so the bars carry only small
+    code-drift margin."""
+    from openue_spark.fixtures import transcripts_spark
+    from openue_spark.pipeline import extract_triples
+    from openue_spark.pipeline.evaluate import pairwise_clustering_prf
+    from openue_spark.pipeline.linking import (
+        candidate_edges_from_state,
+        connected_components,
+        mention_state,
+        mention_table,
+    )
+
+    raw = extract_triples(transcripts_spark(spark, 60_000))
+    mentions = mention_table(raw).persist()
+    state = mention_state(mentions).persist()
+    nm = state.count()
+    capped = (
+        candidate_edges_from_state(state, n_mentions=nm)
+        .select("a_id", "b_id")
+        .persist()
+    )
+    uncapped = (
+        candidate_edges_from_state(state, max_bucket=None, n_mentions=nm)
+        .select("a_id", "b_id")
+        .persist()
+    )
+    n_c, n_u = capped.count(), uncapped.count()
+    assert capped.join(uncapped, ["a_id", "b_id"]).count() == n_c  # subset
+    assert n_c / n_u >= 0.80  # edge recall (measured 0.8330 at C=128)
+    cc_c = connected_components(mentions, capped).withColumnRenamed(
+        "label", "pred_label"
+    )
+    cc_u = connected_components(mentions, uncapped).withColumnRenamed(
+        "label", "gold_label"
+    )
+    row = pairwise_clustering_prf(cc_c.join(cc_u, "mention_id")).collect()[0]
+    assert row.precision == 1.0  # subset edges can only split, never merge
+    assert row.recall >= 0.94  # measured 0.9537 (was 0.889 pre-redesign)
 
 
 # --- driver-side components short-circuit (round 3) ---
@@ -486,10 +569,12 @@ def test_increment_with_stored_state_equals_recompute(spark):
 
 @pytest.mark.slow
 def test_increment_fresh_incident_cap(spark):
-    """The fold's fresh-incident hot-bucket cap: with a generous cap (no
-    bucket exceeds it) the result equals the uncapped fold; with cap=1
-    every shared bucket is dropped, so no new edges form and every fresh
-    mention stays a singleton."""
+    """The fold's fresh-incident hot-bucket chunking: with a generous cap
+    (no bucket exceeds it) the result equals the uncapped fold; with cap=1
+    the bucket splits into single-row chunks, but the overlap chain keeps a
+    genuinely-dense cluster connected — the fresh near-dup mention still
+    merges instead of being orphaned (the round-4 fix: the old
+    drop-the-bucket cap shattered dense clusters into singletons)."""
     from openue_spark.pipeline.linking import (
         incremental_canonical_mapping,
         mention_table,
@@ -524,11 +609,9 @@ def test_increment_fresh_incident_cap(spark):
             prior, batch, min_cosine=None, max_bucket=1
         ).collect()
     }
-    assert ("grape press works.", "grape press works.") in capped1  # singleton
-    # prior components are untouched by a cap that blocks all new pairs
-    assert {(m, c) for m, c in capped1 if m != "grape press works."} == {
-        (m, c) for m, c in prior.select("mention", "canonical").collect()
-    }
+    # chunk-chain connectivity: even at cap=1 the fresh near-dup merges
+    # into the existing cluster (same mapping as the uncapped fold here)
+    assert capped1 == uncapped
 
 
 def test_pairwise_clustering_prf_hand_case(spark):
