@@ -89,6 +89,16 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         " never reuses shards extracted under another one",
     )
     parser.add_argument(
+        "--vocab-file", default=None, metavar="PATH",
+        help="extract with a real WordPiece tokenizer loaded from this"
+        " vocab file (one piece per line, '##' continuations — the format"
+        " of released bert-* vocab.txt files; greedy longest-match"
+        " inference) broadcast through the same tokenizer seam. Mutually"
+        " exclusive with --subword-piece-len. A fixture vocab built by"
+        " scripts/make_vocab.py ships at openue_spark/golden/"
+        "vocab_wordpiece.txt",
+    )
+    parser.add_argument(
         "--weights-from",
         help="load the best (metric, step) weights checkpoint from this dir's"
         " checkpoints/ table and broadcast it to the extraction UDFs"
@@ -159,6 +169,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     )
     weights_bc = spark.sparkContext.broadcast(weights)
     tokenizer_bc = None
+    if args.subword_piece_len is not None and args.vocab_file is not None:
+        raise SystemExit("--subword-piece-len and --vocab-file are exclusive")
     if args.subword_piece_len is not None:
         from openue_spark.tokenizer import SubwordTokenizer
 
@@ -166,6 +178,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             SubwordTokenizer(args.subword_piece_len)
         )
         print(f"[job] extracting with SubwordTokenizer({args.subword_piece_len})")
+    elif args.vocab_file is not None:
+        from openue_spark.tokenizer import VocabWordPieceTokenizer
+
+        tok = VocabWordPieceTokenizer.from_file(args.vocab_file)
+        tokenizer_bc = spark.sparkContext.broadcast(tok)
+        print(
+            f"[job] extracting with VocabWordPieceTokenizer"
+            f"({len(tok.index)} pieces from {args.vocab_file})"
+        )
     if args.input:
         from openue_spark.sources import read_transcripts
 

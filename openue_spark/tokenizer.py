@@ -96,6 +96,84 @@ class WordTokenizer:
         return encode(text, max_length)
 
 
+class VocabWordPieceTokenizer:
+    """Real WordPiece inference over a vocab FILE — the deployment shape of
+    the seam (the reference loads one vocab for every stage,
+    data_module.py:25-35; its tokenizer is HF WordPiece).
+
+    The encode algorithm is the standard BERT WordPiece matcher: per
+    pre-tokenized word, repeatedly take the LONGEST prefix present in the
+    vocab (continuation pieces carry the '##' prefix); a word with any
+    unmatchable tail becomes [UNK] whole. File format is one piece per
+    line, like every published bert-*/vocab.txt — a user can point this at
+    a real released vocab file unchanged. Ids are VOCAB_BASE + line index,
+    except [CLS]/[SEP] which map to the pipeline's CLS_ID/SEP_ID so
+    special-token handling stays uniform across tokenizers. The `words`
+    half of encode() returns the pieces (position-aligned with ids[1:-1]),
+    honoring the seam contract above.
+
+    scripts/make_vocab.py builds the checked-in
+    openue_spark/golden/vocab_wordpiece.txt deterministically from the
+    fixture corpus (offline stand-in for a released vocab: frequent words
+    whole, rare words split into char/subword pieces, zero [UNK] on
+    fixture text by charset closure); tests/test_parity.py proves
+    pipeline == oracle under it.
+    """
+
+    _MAX_WORD_CHARS = 100  # HF WordPiece's max_input_chars_per_word
+
+    def __init__(self, vocab: list[str]):
+        self.index: dict[str, int] = {}
+        for i, piece in enumerate(vocab):
+            # first occurrence wins, like HF's OrderedDict load
+            self.index.setdefault(piece, i)
+        if "[UNK]" not in self.index:
+            raise ValueError("vocab must contain [UNK]")
+
+    @classmethod
+    def from_file(cls, path: str) -> "VocabWordPieceTokenizer":
+        with open(path, encoding="utf-8") as f:
+            return cls([ln.rstrip("\n") for ln in f if ln.strip()])
+
+    def wordpiece(self, word: str) -> list[str]:
+        """Greedy longest-match-first split of one word into vocab pieces."""
+        if len(word) > self._MAX_WORD_CHARS:
+            return ["[UNK]"]
+        pieces: list[str] = []
+        start = 0
+        while start < len(word):
+            end = len(word)
+            cur = None
+            while start < end:
+                sub = word[start:end]
+                if start > 0:
+                    sub = "##" + sub
+                if sub in self.index:
+                    cur = sub
+                    break
+                end -= 1
+            if cur is None:
+                return ["[UNK]"]
+            pieces.append(cur)
+            start = end
+        return pieces
+
+    def pieces(self, text: str) -> list[str]:
+        out: list[str] = []
+        for w in tokenize_words(text):
+            out.extend(self.wordpiece(w))
+        return out
+
+    def _id(self, piece: str) -> int:
+        return VOCAB_BASE + self.index[piece]
+
+    def encode(
+        self, text: str, max_length: int = MAX_SEQ_LENGTH - 2
+    ) -> tuple[list[int], list[str]]:
+        ps = self.pieces(text)[: max(0, max_length - 2)]
+        return [CLS_ID] + [self._id(p) for p in ps] + [SEP_ID], ps
+
+
 class SubwordTokenizer:
     """Deterministic WordPiece-shaped tokenizer for exercising the seam
     without network access: words split into fixed-width pieces, piece 2+
