@@ -3,13 +3,19 @@
 Media are opaque `binary` payload columns with typed metadata structs.
 Decode / feature-extraction / resize / frame-sampling run as Arrow-batched
 pandas functions over mapInPandas — the Spark-side plumbing (schema,
-partitioning, UDF signatures, batch shapes) is real and tested; the actual
-codec step is STUBBED (this container ships no image/audio libraries):
+partitioning, UDF signatures, batch shapes) is real and tested. Codec
+status (this container ships no image/audio libraries):
 
 - `decode_features(..., fake=True)` produces a deterministic hash-derived
   feature vector per payload (documented fake, stable across runs)
-- `decode_features(..., fake=False)` raises NotImplementedError at the
-  exact point a real decoder (PIL / torchaudio / pyav) would be called
+- `decode_features(..., fake=False, decoder=ppm_decoder)` is a REAL image
+  decode end to end: `ppm_decoder` parses binary Netpbm PPM (P6) payloads
+  with numpy alone — actual pixels, mean-pooled into the feature grid —
+  proving the seam on a genuine codec with zero external deps
+- `decode_features(..., fake=False)` without a decoder raises
+  NotImplementedError at the exact point a library-backed decoder
+  (PIL / torchaudio / pyav) would be called; an importorskip-gated test
+  cross-checks ppm_decoder against PIL's PPM reader where PIL exists
 
 At scale: payloads dominate bytes, so media tables should be scanned with
 column pruning (never `select *`), partitioned by kind/date, and decoded
@@ -132,6 +138,122 @@ def default_decoder(payload: bytes, kind: str) -> np.ndarray:
         "decode_features(fake=False) or use fake=True for the deterministic "
         "stand-in"
     )
+
+
+# --- a REAL image codec on the seam (no external libraries) --------------
+#
+# Netpbm binary PPM (P6) is a published image format simple enough to
+# decode correctly with numpy alone, which makes the `decoder=` seam
+# provable in this container without PIL: real header grammar (whitespace-
+# separated tokens, '#' comments), real pixel bytes, real downsampling.
+# A deployment with PIL/pyav swaps in its own decoder unchanged — the
+# opt-in PIL test (tests/test_ops.py, importorskip-gated) cross-checks
+# this decoder against PIL's PPM reader wherever PIL exists.
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """(h, w, 3) uint8 RGB -> binary PPM (P6) payload."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 3 or arr.shape[2] != 3:
+        raise ValueError(f"expected (h, w, 3) RGB, got {arr.shape}")
+    h, w = arr.shape[:2]
+    return b"P6\n%d %d\n255\n" % (w, h) + arr.tobytes()
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) -> (h, w, 3) uint8 RGB.
+
+    Implements the Netpbm header grammar: magic, then width/height/maxval
+    as whitespace-separated decimal tokens, '#'-to-newline comments
+    allowed between tokens, exactly one whitespace byte before the raster.
+    """
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    vals: list[int] = []
+    while len(vals) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment runs to end of line
+            nl = payload.index(b"\n", pos)
+            pos = nl + 1
+            continue
+        end = pos
+        while end < len(payload) and payload[end : end + 1].isdigit():
+            end += 1
+        if end == pos:
+            raise ValueError(f"bad PPM header near byte {pos}")
+        vals.append(int(payload[pos:end]))
+        pos = end
+    w, h, maxval = vals
+    if maxval != 255:
+        raise ValueError(f"only maxval=255 supported, got {maxval}")
+    pos += 1  # the single whitespace byte separating header from raster
+    raster = np.frombuffer(payload, dtype=np.uint8, count=h * w * 3, offset=pos)
+    return raster.reshape(h, w, 3)
+
+
+def _mean_pool(gray: np.ndarray, gh: int, gw: int) -> np.ndarray:
+    """Mean-pool a 2-D array onto a (gh, gw) grid (vectorized reduceat)."""
+    # tiny images: nearest-neighbor upsample so every grid cell is nonempty
+    if gray.shape[0] < gh:
+        gray = np.repeat(gray, -(-gh // gray.shape[0]), axis=0)
+    if gray.shape[1] < gw:
+        gray = np.repeat(gray, -(-gw // gray.shape[1]), axis=1)
+    h, w = gray.shape
+    re = np.linspace(0, h, gh + 1).astype(int)
+    ce = np.linspace(0, w, gw + 1).astype(int)
+    sums = np.add.reduceat(np.add.reduceat(gray, re[:-1], axis=0), ce[:-1], axis=1)
+    counts = np.outer(np.diff(re), np.diff(ce))
+    return sums / counts
+
+
+def ppm_decoder(payload: bytes, kind: str) -> np.ndarray:
+    """Real image decoder for the `decoder=` seam: P6 pixels -> grayscale
+    -> 4x4 mean-pooled grid -> FEATURE_DIM unit vector. Raises on
+    non-image kinds (an audio payload reaching an image decoder is a
+    pipeline routing bug, not something to hash around)."""
+    if kind != "image":
+        raise ValueError(f"ppm_decoder got kind={kind!r}; route images only")
+    gray = decode_ppm(payload).mean(axis=2)
+    vec = _mean_pool(gray, 4, 4).ravel()[:FEATURE_DIM]
+    n = np.linalg.norm(vec)
+    return vec / n if n > 0 else vec
+
+
+def synth_ppm_media(spark: SparkSession, n: int, partitions: int = 4) -> DataFrame:
+    """Deterministic VALID-PPM image table (media_id-pure like synth_media):
+    per-id gradient + hash-phase pixels, so every payload decodes and
+    distinct ids give distinct features."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"].to_numpy():
+                i = int(i)
+                h, w = 8 + i % 9, 8 + (i // 9) % 9
+                phase = int.from_bytes(
+                    hashlib.sha256(f"img-{i}".encode()).digest()[:2], "big"
+                )
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [
+                        (yy * 31 + phase) % 256,
+                        (xx * 17 + phase // 3) % 256,
+                        ((yy + xx) * 7 + i) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                meta = {
+                    "width": w,
+                    "height": h,
+                    "duration_ms": None,
+                    "sample_rate": None,
+                }
+                rows.append((i, "image", encode_ppm(px), meta))
+            yield pd.DataFrame(rows, columns=["media_id", "kind", "payload", "meta"])
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
 def decode_features(media: DataFrame, fake: bool = True, decoder=None) -> DataFrame:
