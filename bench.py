@@ -222,7 +222,7 @@ def main() -> int:
                 # window with the 2-core point within 2% of the anchor;
                 # full-job anchors re-measured on round-4 code). Not
                 # re-measured per bench run — the 12M full-job pair
-                # alone costs ~45 min; reproduce with scripts/scaling.py.
+                # alone costs ~80 min; reproduce with scripts/scaling.py.
                 "scaling_anchors_recorded": {
                     "linking_verify_2p4M_turns": {
                         "eff_2_to_8": 0.836,
@@ -233,7 +233,12 @@ def main() -> int:
                         "note": "wall = W/K + c; serial term c ~= 26 s of"
                         " per-job orchestration, amortizes with input size",
                     },
-                    "full_job_12M_turns": {"eff_2_to_8": 0.627},
+                    "full_job_12M_turns": {
+                        "eff_2_to_8": 0.739,
+                        "note": "best-of-2 per point on round-4 chunked-cap"
+                        " code (2866.6 s @2 / 969.6 s @8); serial residue"
+                        " c ~= 337 s, amortized by scale",
+                    },
                 },
             }
         except Exception as exc:  # never fail the bench over the extra evidence
