@@ -217,16 +217,18 @@ def main() -> int:
                 # for them in the artifact of record): taskset-pinned
                 # anchors from scripts/scaling.py --link / --job (full
                 # methodology + per-draw walls in BASELINE.md "three-tier"
-                # table; linking anchor is the round-3 quiet window —
-                # the round-4 re-measure read 0.773 in a 1-2%-steal
-                # window with the 2-core point within 2% of the anchor;
-                # full-job anchors re-measured on round-4 code). Not
+                # table; both tiers re-measured on FINAL round-4 code —
+                # chunked hot-bucket cap + verify-stage repartition). Not
                 # re-measured per bench run — the 12M full-job pair
                 # alone costs ~80 min; reproduce with scripts/scaling.py.
                 "scaling_anchors_recorded": {
                     "linking_verify_2p4M_turns": {
-                        "eff_2_to_8": 0.836,
-                        "edges_per_sec": {"2": 37535, "8": 125549},
+                        "eff_2_to_8": 0.845,
+                        "edges_per_sec": {"2": 21137, "8": 71476},
+                        "note": "final round-4 code (chunked hot-bucket cap"
+                        " verifies 2.6x the edges of the round-3 dropper;"
+                        " verify-stage repartition defeats AQE's byte-based"
+                        " coalescing); best-of-3 per point",
                     },
                     "full_job_600k_turns": {
                         "eff_2_to_8": 0.511,

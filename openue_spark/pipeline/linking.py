@@ -553,6 +553,20 @@ def _fused_edges(
     else:
         banded = _chunk_hot_buckets(banded_src, max_bucket)
         keys = ["band_id", "band_hash", "chunk"]
+        # The verify stage is COMPUTE-dense, not byte-dense: ~30 bytes/row
+        # of band keys in, then pair fan-out + cosine + array_intersect
+        # per candidate (measured 628 core-s of HOF work from a 77 MB
+        # shuffle read at 333k mentions). AQE's byte-based partition
+        # coalescing can't see that and collapsed the stage to
+        # defaultParallelism tasks of 57-78 s — two ragged waves on 8
+        # cores (eff 0.648 vs 0.836 pre-chunking). A user-NUMBERED
+        # repartition on the join keys is exempt from AQE coalescing, so
+        # the join runs at ~4x cores tasks and packs cleanly; per-task
+        # skew needs no AQE splitting because _chunk_hot_buckets already
+        # bounds every key group to <= max_bucket rows. Costs one narrow
+        # ~40 MB exchange; both self-join sides reuse it.
+        sc = banded.sparkSession.sparkContext
+        banded = banded.repartition(4 * sc.defaultParallelism, *keys)
     a = banded.select(F.col("mention_id").alias("a_id"), *keys)
     b = banded.select(F.col("mention_id").alias("b_id"), *keys)
     cand = (
