@@ -228,7 +228,11 @@ def main() -> int:
                         "note": "final round-4 code (chunked hot-bucket cap"
                         " verifies 2.6x the edges of the round-3 dropper;"
                         " verify-stage repartition defeats AQE's byte-based"
-                        " coalescing); best-of-3 per point",
+                        " coalescing); best-of-3 per point. A fresh-boot"
+                        " re-draw on identical code/edges read 328.7s@2 /"
+                        " 77.9s@8 -> 1.054 (2-core point is memory-headroom"
+                        "-bound on this host); 0.845 kept as the"
+                        " conservative same-window anchor",
                     },
                     "full_job_600k_turns": {
                         "eff_2_to_8": 0.511,
