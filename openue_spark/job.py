@@ -214,11 +214,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         extract_dir = f"{args.out}/increments/{batch_key}"
     else:
         extract_dir = args.out
-    raw = run_extraction_resumable(
-        spark, transcripts, extract_dir, n_shards=args.shards,
-        weights_bc=weights_bc, tokenizer_bc=tokenizer_bc,
-    )
-    n_raw = raw.count()
+    from openue_spark.session import job_phase
+
+    with job_phase(spark, "extract"):
+        # n_raw rides the write-side shard counts — no readback-count scan
+        raw, n_raw = run_extraction_resumable(
+            spark, transcripts, extract_dir, n_shards=args.shards,
+            weights_bc=weights_bc, tokenizer_bc=tokenizer_bc,
+            return_count=True,
+        )
     print(f"[job] extraction complete: {n_raw} raw triples ({time.time() - t0:.1f}s)")
 
     if args.increment:
@@ -255,10 +259,12 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         # ONE per-mention feature pass: the state table is both what
         # link_entities blocks from AND what --increment runs fold into
         # (state makes the fold Θ(batch) instead of Θ(corpus))
-        state = mention_state(mention_table(raw)).localCheckpoint(eager=True)
-        state.write.mode("overwrite").parquet(f"{args.out}/link_state")
-        mapping = link_entities(raw, max_bucket=max_bucket, state=state)
-        mapping.write.mode("overwrite").parquet(f"{args.out}/mapping")
+        with job_phase(spark, "mention-state"):
+            state = mention_state(mention_table(raw)).localCheckpoint(eager=True)
+            state.write.mode("overwrite").parquet(f"{args.out}/link_state")
+        with job_phase(spark, "linking"):
+            mapping = link_entities(raw, max_bucket=max_bucket, state=state)
+            mapping.write.mode("overwrite").parquet(f"{args.out}/mapping")
         final = canonical_triples(raw, mapping)
         print(f"[job] linking complete ({time.time() - t1:.1f}s)")
         # north-rule metrics: stage latency + counts ride the same manifest
@@ -273,8 +279,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         final = raw
 
     t2 = time.time()
-    write_triple_table(final, f"{args.out}/graph", salt_buckets=args.salt_buckets)
-    n_graph = spark.read.parquet(f"{args.out}/graph").count()
+    with job_phase(spark, "graph-write"):
+        write_triple_table(final, f"{args.out}/graph", salt_buckets=args.salt_buckets)
+        n_graph = spark.read.parquet(f"{args.out}/graph").count()
     print(
         f"[job] graph materialized: {n_graph} canonical (subj, pred, obj) triples "
         f"({time.time() - t2:.1f}s); total {time.time() - t0:.1f}s; "

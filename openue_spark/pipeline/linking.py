@@ -833,8 +833,14 @@ def connected_components(
         # probe + toPandas would re-run the fused verify join twice (its
         # inputs are checkpointed upstream, the join itself is not)
         edges = edges.select("a_id", "b_id").localCheckpoint(eager=False)
-    if eligible and edges.limit(gate + 1).count() <= gate:
-        labels = _driver_cc_labels(edges, "a_id", "b_id")
+    from ..session import job_phase
+
+    spark = edges.sparkSession
+    with job_phase(spark, "edges-gate-probe"):
+        small = eligible and edges.limit(gate + 1).count() <= gate
+    if small:
+        with job_phase(spark, "cc-driver-finish"):
+            labels = _driver_cc_labels(edges, "a_id", "b_id")
         converged = True
     else:
         sym = (
@@ -849,9 +855,10 @@ def connected_components(
         incident = sym.select(F.col("src").alias("mention_id")).distinct()
         labels = incident.select("mention_id", F.col("mention_id").alias("label"))
         labels = labels.localCheckpoint(eager=True)
-        labels, converged = _cc_propagate_contract(
-            sym, labels, max_iterations, driver_max_edges=gate
-        )
+        with job_phase(spark, "cc-propagate"):
+            labels, converged = _cc_propagate_contract(
+                sym, labels, max_iterations, driver_max_edges=gate
+            )
         sym.unpersist()
     if not converged:
         msg = (
@@ -915,7 +922,16 @@ def link_entities(
     signatures, and embeddings — identical edges, one feature pass per
     corpus instead of two.
     """
-    mentions = mention_table(triples).persist()
+    if state is not None and blocker == "banded":
+        # the state table IS the distinct mention set (one row per
+        # mention_id, carrying the surface form): deriving `mentions` from
+        # it skips re-scanning the full triple table through
+        # mention_table's explode + distinct shuffle — at 12M turns that
+        # scan costs a full extra pass over ~33M mention instances for
+        # rows the caller already materialized
+        mentions = state.select("mention_id", "mention").persist()
+    else:
+        mentions = mention_table(triples).persist()
     # one count: warms the persist for the three downstream consumers AND
     # gates the fused verify's broadcast hints (BROADCAST_MAX_MENTIONS —
     # at 10^8-10^9 mentions the hinted side stops fitting executor memory
@@ -950,8 +966,15 @@ def link_entities(
     # higher bound is free on shallow clusters and covers deep chains a
     # 15-round cap would silently leave with split labels (a warning fires
     # if even 50 is exhausted)
-    labels = connected_components(mentions, edges, max_iterations=50)
-    mapping = canonicalize(mentions, labels).localCheckpoint(eager=True)
+    from ..session import job_phase
+
+    spark = triples.sparkSession
+    # the fused verify's work materializes inside connected_components'
+    # first action over `edges` (the gate probe) — label both together
+    with job_phase(spark, "verify+cc"):
+        labels = connected_components(mentions, edges, max_iterations=50)
+    with job_phase(spark, "canonicalize"):
+        mapping = canonicalize(mentions, labels).localCheckpoint(eager=True)
     # over-merge guard: one giant transitive component is noise chained
     # into a single "entity", not signal (a 100k-turn profile produced a
     # component holding 84% of all mentions before the hot-bucket cap).

@@ -153,6 +153,7 @@ def run_extraction_resumable(
     fail_after_shards: int | None = None,
     weights_bc=None,
     tokenizer_bc=None,
+    return_count: bool = False,
 ) -> DataFrame:
     """Sharded, checkpoint-resumable extraction run.
 
@@ -177,7 +178,11 @@ def run_extraction_resumable(
       fingerprint revalidation of completed shards rides the single stats
       pass instead of S dedicated scans.
 
-    Returns the complete triple table read back from out_dir.
+    Returns the complete triple table read back from out_dir; with
+    return_count=True, returns (table, n_triples) where the total rides
+    the per-shard counts this function already collected (write-side
+    batched counts + manifest rows for resumed shards) — callers that
+    need the total then skip a full readback-count scan of the table.
     """
     run_id = uuid.uuid4().hex[:12]
     wsha = _weights_sha(weights_bc, tokenizer_bc)
@@ -193,13 +198,17 @@ def run_extraction_resumable(
             " dir or rerun with the original shard count"
         )
     done = completed_shards(spark, out_dir, stage, weights_sha=wsha)
-    recorded_fp = {
-        r.shard: r.fp
+    recorded = {
+        r.shard: r
         for r in manifest.where(F.col("weights_sha") == wsha)
         .groupBy("shard")
-        .agg(F.max("input_fingerprint").alias("fp"))
+        .agg(
+            F.max("input_fingerprint").alias("fp"),
+            F.max("triple_count").alias("tc"),
+        )
         .collect()
     }
+    recorded_fp = {s: r.fp for s, r in recorded.items()}
     sharded = transcripts.withColumn("shard", shard_of(F.col("conv_id"), n_shards))
 
     # ONE stats pass for every shard's (row count, fingerprint). Skipping a
@@ -300,8 +309,12 @@ def run_extraction_resumable(
         spark.createDataFrame(rows, MANIFEST_SCHEMA).write.mode("append").parquet(
             f"{out_dir}/manifest"
         )
+        n_total = sum(counts.get(s, 0) for s in range(n_shards))
     else:
         # resume path: shard-per-job for exactly the missing shards
+        n_total = sum(
+            int(recorded[s].tc) for s in range(n_shards) if s not in missing
+        )
         n_done_this_run = 0
         for shard in missing:
             t0 = time.time()
@@ -317,6 +330,7 @@ def run_extraction_resumable(
                 f"{out_dir}/triples/shard={shard}"
             ).count()
             manifest_row(shard, shard_fp(shard), shard_rows(shard), n_triples, t0)
+            n_total += n_triples
             n_done_this_run += 1
             if fail_after_shards is not None and n_done_this_run >= fail_after_shards:
                 raise RuntimeError(
@@ -325,9 +339,10 @@ def run_extraction_resumable(
 
     # read back exactly this run's shard range (never a parent-dir glob:
     # a stale shard dir from an older layout must not leak into the table)
-    return spark.read.parquet(
+    table = spark.read.parquet(
         *[f"{out_dir}/triples/shard={k}" for k in range(n_shards)]
     )
+    return (table, n_total) if return_count else table
 
 
 def write_bucketed_table(

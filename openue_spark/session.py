@@ -56,6 +56,29 @@ def tuning_conf(cores: int = 32, shuffle_partitions: int | None = None) -> dict[
     }
 
 
+def job_phase(spark: SparkSession, name: str):
+    """Label all Spark jobs submitted inside the block with a phase name
+    (visible in the UI and the event log — scripts/profile_job.py groups
+    its per-job serial-latency table by these). Purely observational.
+
+        with job_phase(spark, "linking"):
+            ...
+    """
+    import contextlib
+
+    @contextlib.contextmanager
+    def _ctx():
+        sc = spark.sparkContext
+        prev = sc.getLocalProperty("spark.job.description")
+        try:
+            sc.setJobDescription(name if prev is None else f"{prev}/{name}")
+            yield
+        finally:
+            sc.setJobDescription(prev)
+
+    return _ctx()
+
+
 def get_spark(
     app_name: str = "openue_spark",
     master: str | None = None,
