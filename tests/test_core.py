@@ -175,3 +175,27 @@ def test_inference_text_api_matches_oracle(spark):
     ]
     key = lambda d: (d["subject"], d["predict"], d["object"])  # noqa: E731
     assert sorted(got, key=key) == sorted(want, key=key)
+
+
+def test_job_phase_labels_nest_and_restore(spark):
+    """job_phase sets spark.job.description for the block (nested blocks
+    compose with '/'), restores the previous value afterward — including
+    on exception — so profile_job.py's per-phase rollup can trust the
+    labels."""
+    from openue_spark.session import job_phase
+
+    sc = spark.sparkContext
+    base = sc.getLocalProperty("spark.job.description")
+    with job_phase(spark, "outer"):
+        assert sc.getLocalProperty("spark.job.description") == "outer"
+        with job_phase(spark, "inner"):
+            assert sc.getLocalProperty("spark.job.description") == "outer/inner"
+        assert sc.getLocalProperty("spark.job.description") == "outer"
+    assert sc.getLocalProperty("spark.job.description") == base
+
+    try:
+        with job_phase(spark, "boom"):
+            raise RuntimeError("x")
+    except RuntimeError:
+        pass
+    assert sc.getLocalProperty("spark.job.description") == base
