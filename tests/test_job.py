@@ -143,3 +143,27 @@ def test_job_subword_tokenizer_flag(spark, tmp_path):
     # piece-shaped surface forms made it into the graph vocabulary
     graph = spark.read.parquet(f"{out}/graph")
     assert graph.where(F.col("subj").contains("##") | F.col("obj").contains("##")).count() > 0
+
+
+@pytest.mark.slow
+def test_profile_job_smoke(tmp_path):
+    """scripts/profile_job.py runs a tiny full job with the event log on,
+    parses it, and rolls the per-job table up by job_phase labels — pin
+    that the harness works end-to-end (subprocess + zstd log + rollup) and
+    that the known phase labels appear, so the PLANS.md §19 protocol
+    doesn't rot."""
+    import subprocess
+    import sys
+
+    evdir = str(tmp_path / "spark-events")
+    proc = subprocess.run(
+        [sys.executable, "scripts/profile_job.py", "--turns", "20000",
+         "--cores", "4", "--evdir", evdir],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    out = proc.stdout
+    assert "app wall" in out and "serial-ish total" in out
+    for phase in ("extract", "verify+cc", "canonicalize", "graph-write"):
+        assert phase in out, f"phase label {phase!r} missing from rollup:\n{out[-2000:]}"
