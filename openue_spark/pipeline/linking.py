@@ -50,6 +50,17 @@ EMB_DIM = 32
 # shuffle join otherwise (the switch BASELINE.md's 100 TB plan promises).
 BROADCAST_MAX_MENTIONS = 5_000_000
 
+# Mention-count ceiling for canonicalize's broadcast-regime rep join. Below
+# it the per-component rep table (3 narrow cols, one row per component)
+# broadcasts under AQE and component-size skew is moot; above it reps stops
+# fitting a broadcast (~10^8 components ≈ several GB) and the giant
+# component's label would become one hot shuffle key — canonicalize then
+# salts the join across CANON_SALT_PARTS subkeys (exact same output; see
+# its docstring). Set well above BROADCAST_MAX_MENTIONS because reps rows
+# are ~10x narrower than the verify-side feature tables.
+CANON_SALT_MENTIONS = 50_000_000
+CANON_SALT_PARTS = 16
+
 
 def mention_table(triples: DataFrame) -> DataFrame:
     """Distinct mention surface forms with stable ids (xxhash64 of the
@@ -880,9 +891,34 @@ def connected_components(
     return labels.unionByName(isolated)
 
 
-def canonicalize(mentions: DataFrame, labels: DataFrame) -> DataFrame:
+def canonicalize(
+    mentions: DataFrame, labels: DataFrame, n_mentions: int | None = None
+) -> DataFrame:
     """Per component: canonical member = (shortest, then lexicographically
-    least) mention. Returns (mention, mention_id, canonical_id, canonical)."""
+    least) mention. Returns (mention, mention_id, canonical_id, canonical).
+
+    The rep pick itself is skew-safe at any component size (min-of-struct
+    partial-aggregates map-side), but the rep JOIN back onto the labeled
+    mentions has two regimes:
+
+    - n_mentions <= CANON_SALT_MENTIONS (every measured run here): `reps`
+      holds one narrow row per component and AQE broadcasts it — no shuffle
+      on `label`, so a giant component costs nothing extra (probed at 5M
+      mentions / 80%-giant: 3.4-7.9 s, PLANS.md §17 tail).
+    - above the gate (10^8-10^9 mentions, the 100 TB regime): `reps` can
+      reach ~10^8 rows and stops being broadcastable, the join shuffles on
+      `label`, and the giant component's label becomes ONE hot key whose
+      partition AQE's byte-based skew split may not rescue (§18: byte
+      heuristics are blind to row-count hot spots on narrow rows). Salting
+      splits the hot label across CANON_SALT_PARTS subpartitions: the
+      labeled side salts by a hash of mention_id, the one-row-per-label
+      reps side replicates across all salts — exact same output, bounded
+      per-task fan-in.
+
+    `n_mentions` (threaded from the caller's existing count, same pattern
+    as BROADCAST_MAX_MENTIONS) selects the regime; None keeps the
+    broadcast-regime plan.
+    """
     labeled = mentions.join(labels, "mention_id")
     reps = (
         labeled.groupBy("label")
@@ -895,9 +931,18 @@ def canonicalize(mentions: DataFrame, labels: DataFrame) -> DataFrame:
             F.col("rep.mention_id").alias("canonical_id"),
         )
     )
-    return labeled.join(reps, "label").select(
-        "mention", "mention_id", "canonical_id", "canonical"
-    )
+    if n_mentions is not None and n_mentions > CANON_SALT_MENTIONS:
+        parts = F.lit(CANON_SALT_PARTS)
+        lab_s = labeled.withColumn(
+            "_salt", F.pmod(F.xxhash64("mention_id"), parts).cast("int")
+        )
+        reps_s = reps.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), parts - F.lit(1)))
+        )
+        joined = lab_s.join(reps_s, ["label", "_salt"])
+    else:
+        joined = labeled.join(reps, "label")
+    return joined.select("mention", "mention_id", "canonical_id", "canonical")
 
 
 def link_entities(
@@ -974,7 +1019,9 @@ def link_entities(
     with job_phase(spark, "verify+cc"):
         labels = connected_components(mentions, edges, max_iterations=50)
     with job_phase(spark, "canonicalize"):
-        mapping = canonicalize(mentions, labels).localCheckpoint(eager=True)
+        mapping = canonicalize(
+            mentions, labels, n_mentions=n_mentions
+        ).localCheckpoint(eager=True)
     # over-merge guard: one giant transitive component is noise chained
     # into a single "entity", not signal (a 100k-turn profile produced a
     # component holding 84% of all mentions before the hot-bucket cap).
@@ -1238,7 +1285,7 @@ def incremental_canonical_mapping(
                 RuntimeWarning,
                 stacklevel=2,
             )
-        changed = canonicalize(sub_mentions, labels)
+        changed = canonicalize(sub_mentions, labels, n_mentions=n_total)
         kept = prior_mapping.join(affected_comp, "canonical_id", "left_anti").select(
             "mention", "mention_id", "canonical_id", "canonical"
         )

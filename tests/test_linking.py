@@ -662,3 +662,39 @@ def test_state_fed_blocker_and_link_match_recompute(spark, triples_df):
         for r in link_entities(triples_df, state=state).collect()
     }
     assert m_state == m_plain
+
+
+def test_canonicalize_salted_matches_broadcast_regime(spark):
+    """Above CANON_SALT_MENTIONS canonicalize salts its rep join — the
+    10^8-component regime where the per-component rep table stops being
+    broadcastable and a giant component's label becomes one hot shuffle
+    key. The salted plan must emit exactly the broadcast-regime mapping
+    (same reps, same shortest-then-lex tie-breaks), with the salt visible
+    in the join."""
+    from openue_spark.pipeline.linking import CANON_SALT_MENTIONS
+
+    n = 300
+    mentions = spark.createDataFrame(
+        [(i, f"mention {i:04d}") for i in range(n)],
+        "mention_id long, mention string",
+    ).select("mention", "mention_id")
+    # 80%-giant component (label 0), one ten-row component, singletons
+    labels = spark.createDataFrame(
+        [(i, 0 if i < 240 else (240 if i < 250 else i)) for i in range(n)],
+        "mention_id long, label long",
+    )
+    base = canonicalize(mentions, labels).collect()
+    salted_df = canonicalize(mentions, labels, n_mentions=CANON_SALT_MENTIONS + 1)
+    # the salted regime joins on (label, _salt): the salt column must
+    # survive into the optimized plan (it is consumed by the join, so
+    # column pruning would erase it if the join key reverted to label-only)
+    plan = salted_df._jdf.queryExecution().optimizedPlan().toString()
+    assert "_salt" in plan
+    salted = salted_df.collect()
+    assert sorted(map(tuple, salted)) == sorted(map(tuple, base))
+    canon = {r.mention: r.canonical for r in salted}
+    # giant component canonicalizes to its shortest-then-lex member; the
+    # under-gate call (n_mentions=None default) stays on the broadcast plan
+    assert canon["mention 0239"] == "mention 0000"
+    assert canon["mention 0245"] == "mention 0240"
+    assert canon["mention 0299"] == "mention 0299"
