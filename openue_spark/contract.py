@@ -1262,6 +1262,56 @@ def q_kg_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     return negative_samples(_kg_positive_fixture(spark, sf_dir), k=2)
 
 
+def _kg_edges_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 3-layer entity graph for the graph-analytics ops:
+    the based_in positives (supplier/customer -> nation) plus part_of
+    edges (nation -> region). Names are unique across layers in the
+    driver testdata, so the node vocabulary is well-defined on both
+    engines."""
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    based_in = _kg_positive_fixture(spark, sf_dir).select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    part_of = nation.join(
+        region, F.col("n_regionkey") == F.col("r_regionkey")
+    ).select(F.col("n_name").alias("src"), F.col("r_name").alias("dst"))
+    return based_in.unionByName(part_of)
+
+
+def q_kg_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KG neighborhood expansion (ops/graph.py): per entity, the exact
+    count of distinct nodes at path length 2 over the undirected entity
+    graph — ONE self-join on the mid key + count(distinct). The hub-cap
+    (max_mid_degree) and HLL (approx=True) variants share this code path;
+    the oracle runs the exact/uncapped form."""
+    from .ops.graph import two_hop_reach
+
+    return two_hop_reach(_kg_edges_fixture(spark, sf_dir))
+
+
+def q_kg_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-oriented triangle census (ops/graph.py, Suri-Vassilvitskii)
+    over the part co-occurrence graph (parts sharing an order): orient
+    each edge from its (degree, id)-smaller endpoint so every triangle
+    materializes exactly once and per-node wedge work is bounded by the
+    orientation — O(|E|^1.5) total instead of hub-quadratic. Output is
+    one row of exact counts (nodes, edges, oriented wedges, triangles)."""
+    from .ops.graph import triangle_stats
+
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+    )
+    a = li.select("ok", F.col("pk").alias("src"))
+    b = li.select("ok", F.col("pk").alias("dst"))
+    cooc = (
+        a.join(b, "ok").where(F.col("src") < F.col("dst")).select("src", "dst")
+    )
+    return triangle_stats(cooc)
+
+
 def q_link_canonical_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import extract_triples
     from .pipeline.linking import canonical_triples, link_entities
@@ -1441,7 +1491,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p5_threshold": q_p5_threshold,
         "p6_argmax_fallback": q_p6_argmax_fallback,
         "doc_fingerprint": q_doc_fingerprint,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize_plan": q_multimodal_resize_plan,
         "multimodal_frame_plan": q_multimodal_frame_plan,
@@ -1485,12 +1534,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_pairwise_prf": q_link_pairwise_prf,
         "kg_negative_samples": q_kg_negative_samples,
         "kg_degree_stats": q_kg_degree_stats,
+        # graph analytics over the constructed KG (round 4)
+        "kg_two_hop_reach": q_kg_two_hop_reach,
+        "kg_cooccurrence_triangles": q_kg_cooccurrence_triangles,
         # dedup family
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "minhash_dedup_keep": q_minhash_dedup_keep,
         "simhash_near_dup": q_simhash_near_dup,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
-        "embedding_near_dup": q_embedding_near_dup,
         "embedding_near_dup_bucketed": q_embedding_near_dup_bucketed,
         # ---- driver-window tail (position > 50): rows-only pipelines with
         # green head proxies, then relational-breadth variants of already-
@@ -1499,7 +1550,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # tokenizer-seam row: its keep policy is head-checked via
         # minhash_dedup_keep and its pair detection via
         # embedding_near_dup_bucketed, so it was the most redundant head
-        # entry; its oracle still runs in selfcheck. ----
+        # entry; its oracle still runs in selfcheck.
+        # ann_ivf_topk (rows-only; its code path is hash-checked in the
+        # head by ann_ivf_recall, which runs the SAME ivf_topk against the
+        # brute-force oracle and asserts recall) and embedding_near_dup
+        # (the all-pairs recall oracle whose scale path,
+        # embedding_near_dup_bucketed, stays head-checked) moved here in
+        # r4d to make room for the two graph-analytics rows. ----
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "embedding_near_dup": q_embedding_near_dup,
         "embedding_dedup_keep": q_embedding_dedup_keep,
         "extract_triples": q_extract_triples,
         "link_canonical_triples": q_link_canonical_triples,
@@ -2253,6 +2312,56 @@ def oracle_sql() -> dict[str, str]:
             " deg AS (SELECT entity, count(*) AS degree FROM ent GROUP BY entity)"
             " SELECT degree, count(*)::BIGINT AS n_entities FROM deg"
             " GROUP BY degree"
+        ),
+        # mirrors ops/graph.two_hop_reach over the 3-layer entity graph:
+        # symmetrize (distinct, loops dropped) -> one self-join on the mid
+        # -> exact count(DISTINCT). Entities with no length-2 path emit no
+        # row on either engine (groupBy over the path set).
+        "kg_two_hop_reach": (
+            "WITH base AS ("
+            " SELECT s_name AS src, n_name AS dst"
+            "  FROM supplier JOIN nation ON s_nationkey = n_nationkey"
+            " UNION ALL SELECT c_name, n_name"
+            "  FROM customer JOIN nation ON c_nationkey = n_nationkey"
+            " UNION ALL SELECT n_name, r_name"
+            "  FROM nation JOIN region ON n_regionkey = r_regionkey),"
+            " sym AS (SELECT DISTINCT a, b FROM ("
+            "  SELECT src AS a, dst AS b FROM base"
+            "  UNION ALL SELECT dst AS a, src AS b FROM base) t"
+            "  WHERE a <> b)"
+            " SELECT e1.a AS entity, count(DISTINCT e2.b)::BIGINT AS n_two_hop"
+            " FROM sym e1 JOIN sym e2 ON e1.b = e2.a"
+            " WHERE e1.a <> e2.b GROUP BY e1.a"
+        ),
+        # mirrors ops/graph.triangle_stats construct-for-construct: same
+        # co-occurrence edges (parts sharing an order, u < v), same
+        # (degree, id) orientation, same oriented-wedge join, same closure
+        "kg_cooccurrence_triangles": (
+            "WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk"
+            "  FROM lineitem),"
+            " e AS (SELECT DISTINCT a.pk AS u, b.pk AS v"
+            "  FROM li a JOIN li b ON a.ok = b.ok AND a.pk < b.pk),"
+            " deg AS (SELECT node, count(*) AS d FROM ("
+            "  SELECT u AS node FROM e UNION ALL SELECT v FROM e) t"
+            "  GROUP BY node),"
+            " o AS (SELECT"
+            "  CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)"
+            "   THEN e.u ELSE e.v END AS s,"
+            "  CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)"
+            "   THEN e.v ELSE e.u END AS t,"
+            "  CASE WHEN du.d < dv.d OR (du.d = dv.d AND e.u < e.v)"
+            "   THEN dv.d ELSE du.d END AS dt"
+            "  FROM e JOIN deg du ON du.node = e.u"
+            "  JOIN deg dv ON dv.node = e.v),"
+            " w AS (SELECT o1.t AS b, o2.t AS c FROM o o1 JOIN o o2"
+            "  ON o1.s = o2.s"
+            "  AND (o1.dt < o2.dt OR (o1.dt = o2.dt AND o1.t < o2.t))),"
+            " tri AS (SELECT count(*)::BIGINT AS n"
+            "  FROM w JOIN o ON w.b = o.s AND w.c = o.t)"
+            " SELECT (SELECT count(*)::BIGINT FROM deg) AS n_nodes,"
+            " (SELECT count(*)::BIGINT FROM e) AS n_edges,"
+            " (SELECT count(*)::BIGINT FROM w) AS n_wedges,"
+            " (SELECT n FROM tri) AS n_triangles"
         ),
         # mirrors ops/kg.py literally: same md5 bucket prefix, same
         # corruption key text, same rendezvous arg-min, same filters

@@ -1,0 +1,137 @@
+"""Graph analytics over the constructed KG (and co-occurrence graphs).
+
+The reference pipeline stops at emitting (subj, pred, obj) triples
+(/root/reference/src/openue/models/model.py:333-376 materializes them as a
+Python list); the first questions a consumer asks of the *constructed*
+graph are graph-shaped: "what is within two hops of this entity?"
+(neighborhood expansion for context retrieval / negative-sample locality)
+and "how clustered is this graph?" (triangle/wedge census — the standard
+KG-quality and community-structure signal). Both ops below take a plain
+(src, dst) edge DataFrame — canonical triples projected to subj/obj, or
+any co-occurrence construction — and are exact, integer-valued, and
+mirrored construct-for-construct by DuckDB oracles in contract.py.
+
+Scale design:
+
+- ``two_hop_reach``: one self-join on the mid column + count(distinct).
+  The intermediate is sum over mids of deg_in(m) * deg_out(m) — hub mids
+  dominate. Two mitigations ride the same code path: ``max_mid_degree``
+  deterministically truncates each mid's neighbor list (sorted-first-N, so
+  resume/backfill reproduce the same truncation and an oracle can mirror
+  it), and ``approx=True`` swaps the exact distinct-count for
+  approx_count_distinct (HyperLogLog++ partial-aggregates map-side, so the
+  shuffle carries fixed-size sketches instead of every (a, b) pair).
+  The contract query runs the exact/uncapped form — it IS the oracle.
+
+- ``triangle_stats``: degree orientation (Suri & Vassilvitskii's
+  MapReduce triangle counting; Schank-Wagner ordering): orient every
+  undirected edge from its (degree, id)-smaller endpoint to the larger.
+  Each triangle a<b<c (in that total order) then materializes exactly once
+  — as the wedge (a->b, a->c) closed by the oriented edge (b->c) — and the
+  wedge count is sum over v of C(outdeg(v), 2) with outdeg bounded by the
+  orientation (O(sqrt(|E|)) per node for any graph), i.e. O(|E|^1.5)
+  total work instead of sum of C(deg, 2) which a hub makes quadratic.
+  Everything is joins + groupBys on the edge keys: partial-aggregatable,
+  AQE-splittable, no driver state, no iteration.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def symmetrize(edges: DataFrame) -> DataFrame:
+    """Distinct undirected adjacency (a, b) — both directions of every
+    edge, self-loops dropped. Input columns: (src, dst)."""
+    e = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    rev = edges.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    return e.unionByName(rev).where(F.col("a") != F.col("b")).distinct()
+
+
+def two_hop_reach(
+    edges: DataFrame,
+    max_mid_degree: int | None = None,
+    approx: bool = False,
+) -> DataFrame:
+    """(entity, n_two_hop): for every node, the number of distinct nodes
+    reachable by a path of length exactly 2 over the UNDIRECTED graph
+    (self excluded; 1-hop neighbors count when they are also 2-hop
+    reachable — "friends of friends" semantics).
+
+    ``max_mid_degree`` keeps only the deterministically-first N neighbors
+    (ordered by neighbor id) of any mid whose degree exceeds N — the hub
+    cap for the 10^8-node regime, documented in the module docstring;
+    ``approx`` uses approx_count_distinct so the final aggregation ships
+    HLL sketches, not pairs. Defaults are exact (the oracle form).
+    """
+    sym = symmetrize(edges)
+    if max_mid_degree is not None:
+        w = Window.partitionBy("a").orderBy("b")
+        sym = (
+            sym.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= max_mid_degree)
+            .drop("_rn")
+        )
+    hop1 = sym.select(F.col("a"), F.col("b").alias("m"))
+    hop2 = sym.select(F.col("a").alias("m"), F.col("b"))
+    paths = hop1.join(hop2, "m").where(F.col("a") != F.col("b"))
+    counter = F.approx_count_distinct("b") if approx else F.count_distinct("b")
+    return paths.groupBy(F.col("a").alias("entity")).agg(
+        counter.cast("long").alias("n_two_hop")
+    )
+
+
+def triangle_stats(edges: DataFrame) -> DataFrame:
+    """One row: (n_nodes, n_edges, n_wedges, n_triangles) of the
+    undirected simple graph induced by the (src, dst) edge list.
+
+    n_wedges is the ORIENTED wedge count (candidate triangles under the
+    degree orientation — exactly the set of pairs the closure join
+    probes), so n_triangles / n_wedges is the closure rate the plan
+    actually pays for. All four counts are exact BIGINTs.
+    """
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    # orient u--v from the (degree, id)-smaller endpoint; carry the head's
+    # degree so the wedge join can order its two heads by the same total
+    # order without re-joining degrees
+    du = deg.select(F.col("node").alias("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("d").alias("dv"))
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = (
+        und.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("s"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
+            F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
+        )
+    )
+    o1 = oriented.select("s", F.col("t").alias("b"), F.col("dt").alias("db"))
+    o2 = oriented.select("s", F.col("t").alias("c"), F.col("dt").alias("dc"))
+    wedges = o1.join(o2, "s").where(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closures = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
+    tri = wedges.join(closures, ["b", "c"])
+    return (
+        deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+        .crossJoin(und.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
+        .crossJoin(wedges.agg(F.count(F.lit(1)).cast("long").alias("n_wedges")))
+        .crossJoin(tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
+    )

@@ -1,0 +1,154 @@
+"""ops/graph.py: brute-force cross-checks on seeded random graphs plus
+known-shape cases (triangle, square, star). The brute forces are plain
+Python over adjacency sets — an independent implementation, not a second
+Spark plan."""
+
+import itertools
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from openue_spark.ops.graph import symmetrize, triangle_stats, two_hop_reach
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(
+        [(str(a), str(b)) for a, b in pairs], "src string, dst string"
+    )
+
+
+def _adj(pairs):
+    adj = {}
+    for a, b in pairs:
+        a, b = str(a), str(b)
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    return adj
+
+
+def _brute_two_hop(pairs):
+    adj = _adj(pairs)
+    out = {}
+    for a, nbrs in adj.items():
+        reach = set()
+        for m in nbrs:
+            reach |= adj[m]
+        reach.discard(a)
+        if reach:
+            out[a] = len(reach)
+    return out
+
+
+def _brute_triangles(pairs):
+    adj = _adj(pairs)
+    und = {tuple(sorted((a, b))) for a, b in ((str(x), str(y)) for x, y in pairs) if a != b}
+    tri = sum(
+        1
+        for u, v, w in itertools.combinations(sorted(adj), 3)
+        if v in adj[u] and w in adj[u] and w in adj[v]
+    )
+    return len(adj), len(und), tri
+
+
+def _random_pairs(seed, n_nodes=24, n_edges=60):
+    rng = random.Random(seed)
+    return [
+        (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(n_edges)
+    ]
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_two_hop_reach_matches_brute_force(spark, seed):
+    pairs = _random_pairs(seed)
+    got = {
+        r["entity"]: r["n_two_hop"]
+        for r in two_hop_reach(_edges_df(spark, pairs)).collect()
+    }
+    assert got == _brute_two_hop(pairs)
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_triangle_stats_matches_brute_force(spark, seed):
+    pairs = _random_pairs(seed)
+    row = triangle_stats(_edges_df(spark, pairs)).collect()[0]
+    n_nodes, n_edges, n_tri = _brute_triangles(pairs)
+    assert (row["n_nodes"], row["n_edges"], row["n_triangles"]) == (
+        n_nodes,
+        n_edges,
+        n_tri,
+    )
+    # every triangle closes exactly one oriented wedge
+    assert row["n_wedges"] >= row["n_triangles"]
+
+
+def test_known_shapes(spark):
+    # triangle + square sharing node 0, plus a degree-5 star on node 9:
+    # exactly one triangle; the star contributes wedges but closes none
+    pairs = [(0, 1), (1, 2), (2, 0), (0, 3), (3, 4), (4, 5), (5, 0)]
+    pairs += [(9, k) for k in range(10, 15)]
+    row = triangle_stats(_edges_df(spark, pairs)).collect()[0]
+    assert row["n_triangles"] == 1
+    assert row["n_edges"] == 12
+    # star center 9: its 5 leaves each reach the 4 other leaves (and can
+    # re-reach nothing else); 9 itself reaches nothing at distance 2
+    # (leaves have no other neighbors), so 9 has NO row
+    reach = {
+        r["entity"]: r["n_two_hop"]
+        for r in two_hop_reach(_edges_df(spark, pairs)).collect()
+    }
+    assert reach["10"] == 4 and "9" not in reach
+    assert reach == _brute_two_hop(pairs)
+
+
+def test_two_hop_mid_degree_cap_is_deterministic_truncation(spark):
+    pairs = _random_pairs(7, n_nodes=12, n_edges=80)
+    full = {
+        r["entity"]: r["n_two_hop"]
+        for r in two_hop_reach(_edges_df(spark, pairs)).collect()
+    }
+    capped_df = two_hop_reach(_edges_df(spark, pairs), max_mid_degree=3)
+    capped = {r["entity"]: r["n_two_hop"] for r in capped_df.collect()}
+    # cap = first-3-by-id truncation of every adjacency list, mirrored here
+    adj = _adj(pairs)
+    trunc = {a: set(sorted(nbrs)[:3]) for a, nbrs in adj.items()}
+    expect = {}
+    for a, nbrs in trunc.items():
+        reach = set()
+        for m in nbrs:
+            reach |= trunc[m]
+        reach.discard(a)
+        if reach:
+            expect[a] = len(reach)
+    assert capped == expect
+    assert all(capped[k] <= full[k] for k in capped)
+
+
+def test_two_hop_approx_within_hll_error(spark):
+    pairs = _random_pairs(11, n_nodes=40, n_edges=200)
+    exact = {
+        r["entity"]: r["n_two_hop"]
+        for r in two_hop_reach(_edges_df(spark, pairs)).collect()
+    }
+    approx = {
+        r["entity"]: r["n_two_hop"]
+        for r in two_hop_reach(_edges_df(spark, pairs), approx=True).collect()
+    }
+    assert set(approx) == set(exact)
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(2, 0.15 * v)
+
+
+def test_symmetrize_drops_loops_and_dedups(spark):
+    sym = symmetrize(_edges_df(spark, [(1, 2), (2, 1), (3, 3), (1, 2)]))
+    assert sorted(map(tuple, sym.collect())) == [("1", "2"), ("2", "1")]
+
+
+def test_triangle_plan_has_no_cartesian(spark):
+    df = triangle_stats(_edges_df(spark, _random_pairs(3)))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # the single-row count combiners cross-join at the END (1x1 rows);
+    # the wedge/closure joins themselves must be key-equi joins
+    assert "CartesianProduct" not in plan
