@@ -99,6 +99,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         "vocab_wordpiece.txt",
     )
     parser.add_argument(
+        "--graph-stats", action="store_true",
+        help="after materializing the graph, run the degree-oriented"
+        " triangle/wedge census over the canonical entity graph"
+        " (ops/graph.py — O(|E|^1.5) bounded, no hub blowup), write the"
+        " one-row result to graph_stats/ and log its latency to the"
+        " manifest: the standard KG-quality / clustering signal",
+    )
+    parser.add_argument(
         "--weights-from",
         help="load the best (metric, step) weights checkpoint from this dir's"
         " checkpoints/ table and broadcast it to the extraction UDFs"
@@ -292,6 +300,31 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         wall_ms=int((time.time() - t2) * 1000),
         row_count=n_graph, triple_count=n_graph,
     )
+    if args.graph_stats:
+        from pyspark.sql import functions as F
+
+        from openue_spark.ops.graph import triangle_stats
+
+        t3 = time.time()
+        with job_phase(spark, "graph-stats"):
+            edges = spark.read.parquet(f"{args.out}/graph").select(
+                F.col("subj").alias("src"), F.col("obj").alias("dst")
+            )
+            triangle_stats(edges).write.mode("overwrite").parquet(
+                f"{args.out}/graph_stats"
+            )
+            srow = spark.read.parquet(f"{args.out}/graph_stats").collect()[0]
+        print(
+            f"[job] graph stats: {srow.n_nodes} entities, {srow.n_edges} "
+            f"undirected edges, {srow.n_triangles} triangles "
+            f"({srow.n_wedges} oriented wedges probed; "
+            f"{time.time() - t3:.1f}s)"
+        )
+        log_stage_metric(
+            spark, args.out, run_id, "graph-stats",
+            wall_ms=int((time.time() - t3) * 1000),
+            row_count=srow.n_triangles, triple_count=srow.n_edges,
+        )
     if owns_session:
         spark.stop()
     return 0

@@ -167,3 +167,32 @@ def test_profile_job_smoke(tmp_path):
     assert "app wall" in out and "serial-ish total" in out
     for phase in ("extract", "verify+cc", "canonicalize", "graph-write"):
         assert phase in out, f"phase label {phase!r} missing from rollup:\n{out[-2000:]}"
+
+
+def test_job_graph_stats_flag(spark, tmp_path):
+    """--graph-stats appends a triangle-census phase: one-row parquet at
+    graph_stats/ that equals a direct triangle_stats over the materialized
+    graph, plus a manifest latency row."""
+    from openue_spark.job import main
+    from openue_spark.ops.graph import triangle_stats
+
+    out = str(tmp_path / "kg_gs")
+    rc = main(
+        ["--synthesize", "2000", "--out", out, "--no-link", "--shards", "2",
+         "--graph-stats"],
+        spark=spark,
+    )
+    assert rc == 0
+    got = spark.read.parquet(f"{out}/graph_stats").collect()
+    assert len(got) == 1
+    edges = spark.read.parquet(f"{out}/graph").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    expect = triangle_stats(edges).collect()[0]
+    assert got[0].asDict() == expect.asDict()
+    assert got[0].n_edges > 0
+    m = spark.read.parquet(f"{out}/manifest").where(
+        F.col("stage") == "graph-stats"
+    ).collect()
+    assert len(m) == 1 and m[0].wall_ms > 0
+    assert m[0].row_count == got[0].n_triangles
