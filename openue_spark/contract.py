@@ -1290,6 +1290,19 @@ def q_kg_two_hop_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
     return two_hop_reach(_kg_edges_fixture(spark, sf_dir))
 
 
+def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic integer PageRank (ops/graph.py), 3 rounds over the
+    directed entity graph — an ITERATIVE graph algorithm the driver can
+    hash-check exactly: every step is bigint floor division (Spark `div`
+    == DuckDB `//`), so integer sums are order-independent and the oracle
+    unrolls the same 3 rounds as CTEs. Column `pr` is the scaled rank
+    (1e12 = initial mass)."""
+    from .ops.graph import pagerank_int
+
+    ranks = pagerank_int(_kg_edges_fixture(spark, sf_dir), iterations=3)
+    return ranks.select("node", F.col("rank").alias("pr"))
+
+
 def q_kg_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-oriented triangle census (ops/graph.py, Suri-Vassilvitskii)
     over the part co-occurrence graph (parts sharing an order): orient
@@ -1515,7 +1528,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_suffix_slice": q_w4_suffix_slice,
         "a5_chunk_prf_counts": q_a5_chunk_prf_counts,
         "a6_multilabel_prf_by_relation": q_a6_multilabel_prf_by_relation,
-        "a6_threshold_sweep": q_a6_threshold_sweep,
         # temporal + streaming
         "asof_last_error": q_asof_last_error,
         "range_pair_stats": q_range_pair_stats,
@@ -1537,6 +1549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # graph analytics over the constructed KG (round 4)
         "kg_two_hop_reach": q_kg_two_hop_reach,
         "kg_cooccurrence_triangles": q_kg_cooccurrence_triangles,
+        "kg_pagerank": q_kg_pagerank,
         # dedup family
         "minhash_verified_pairs": q_minhash_verified_pairs,
         "minhash_dedup_keep": q_minhash_dedup_keep,
@@ -1556,7 +1569,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # brute-force oracle and asserts recall) and embedding_near_dup
         # (the all-pairs recall oracle whose scale path,
         # embedding_near_dup_bucketed, stays head-checked) moved here in
-        # r4d to make room for the two graph-analytics rows. ----
+        # r4d to make room for the two graph-analytics rows.
+        # a6_threshold_sweep moved here for the kg_pagerank row: it sweeps
+        # a threshold grid over the SAME evaluate.py code path that
+        # a6_multilabel_prf_by_relation keeps head-checked at one
+        # threshold. ----
+        "a6_threshold_sweep": q_a6_threshold_sweep,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
         "embedding_dedup_keep": q_embedding_dedup_keep,
@@ -2332,6 +2350,48 @@ def oracle_sql() -> dict[str, str]:
             " SELECT e1.a AS entity, count(DISTINCT e2.b)::BIGINT AS n_two_hop"
             " FROM sym e1 JOIN sym e2 ON e1.b = e2.a"
             " WHERE e1.a <> e2.b GROUP BY e1.a"
+        ),
+        # mirrors ops/graph.pagerank_int: the SAME 3 integer rounds
+        # unrolled as CTEs — bigint floor division per step (Spark `div`
+        # == DuckDB `//`, probed truncation-identical), order-independent
+        # bigint sums (::BIGINT guards DuckDB's HUGEINT sum), base =
+        # 15% of the 1e12 starting mass, damping 85%
+        "kg_pagerank": (
+            "WITH base_e AS ("
+            " SELECT s_name AS src, n_name AS dst"
+            "  FROM supplier JOIN nation ON s_nationkey = n_nationkey"
+            " UNION ALL SELECT c_name, n_name"
+            "  FROM customer JOIN nation ON c_nationkey = n_nationkey"
+            " UNION ALL SELECT n_name, r_name"
+            "  FROM nation JOIN region ON n_regionkey = r_regionkey),"
+            " e AS (SELECT DISTINCT src, dst FROM base_e WHERE src <> dst),"
+            " nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),"
+            " od AS (SELECT src AS node, count(*) AS outdeg FROM e"
+            "  GROUP BY src),"
+            " r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS pr"
+            "  FROM nodes),"
+            " s1 AS (SELECT e.dst AS node,"
+            "   sum(r.pr // d.outdeg)::BIGINT AS c FROM e"
+            "   JOIN r0 r ON r.node = e.src JOIN od d ON d.node = e.src"
+            "   GROUP BY e.dst),"
+            " r1 AS (SELECT n.node, CAST(150000000000"
+            "   + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS pr"
+            "  FROM nodes n LEFT JOIN s1 s ON s.node = n.node),"
+            " s2 AS (SELECT e.dst AS node,"
+            "   sum(r.pr // d.outdeg)::BIGINT AS c FROM e"
+            "   JOIN r1 r ON r.node = e.src JOIN od d ON d.node = e.src"
+            "   GROUP BY e.dst),"
+            " r2 AS (SELECT n.node, CAST(150000000000"
+            "   + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS pr"
+            "  FROM nodes n LEFT JOIN s2 s ON s.node = n.node),"
+            " s3 AS (SELECT e.dst AS node,"
+            "   sum(r.pr // d.outdeg)::BIGINT AS c FROM e"
+            "   JOIN r2 r ON r.node = e.src JOIN od d ON d.node = e.src"
+            "   GROUP BY e.dst),"
+            " r3 AS (SELECT n.node, CAST(150000000000"
+            "   + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS pr"
+            "  FROM nodes n LEFT JOIN s3 s ON s.node = n.node)"
+            " SELECT node, pr FROM r3"
         ),
         # mirrors ops/graph.triangle_stats construct-for-construct: same
         # co-occurrence edges (parts sharing an order, u < v), same

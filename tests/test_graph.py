@@ -152,3 +152,46 @@ def test_triangle_plan_has_no_cartesian(spark):
     # the single-row count combiners cross-join at the END (1x1 rows);
     # the wedge/closure joins themselves must be key-equi joins
     assert "CartesianProduct" not in plan
+
+
+def _brute_pagerank_int(pairs, iterations=3, scale=10**12, damping=85):
+    e = {(str(a), str(b)) for a, b in pairs if str(a) != str(b)}
+    nodes = {a for a, _ in e} | {b for _, b in e}
+    outdeg = {}
+    for a, _ in e:
+        outdeg[a] = outdeg.get(a, 0) + 1
+    base = (100 - damping) * scale // 100
+    rank = {n: scale for n in nodes}
+    for _ in range(iterations):
+        c = {n: 0 for n in nodes}
+        for a, b in e:
+            c[b] += rank[a] // outdeg[a]
+        rank = {n: base + (damping * c[n]) // 100 for n in nodes}
+    return rank
+
+
+@pytest.mark.parametrize("seed,iters", [(0, 1), (1, 3), (2, 4)])
+def test_pagerank_int_matches_brute_force_exactly(spark, seed, iters):
+    from openue_spark.ops.graph import pagerank_int
+
+    pairs = _random_pairs(seed, n_nodes=20, n_edges=70)
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_int(_edges_df(spark, pairs), iterations=iters).collect()
+    }
+    assert got == _brute_pagerank_int(pairs, iterations=iters)
+
+
+def test_pagerank_int_hub_outranks_leaves(spark):
+    from openue_spark.ops.graph import pagerank_int
+
+    # 6 leaves all pointing at one hub; hub points at one sink
+    pairs = [(k, 99) for k in range(6)] + [(99, 100)]
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank_int(_edges_df(spark, pairs)).collect()
+    }
+    assert got == _brute_pagerank_int(pairs)
+    # the hub (6 in-edges) and its sink (fed the hub's whole rank) both
+    # outrank every leaf (base mass only)
+    assert got["99"] > got["0"] and got["100"] > got["0"]
