@@ -85,8 +85,9 @@ def two_hop_reach(
 def pagerank_int(
     edges: DataFrame,
     iterations: int = 3,
-    scale: int = 10**12,
+    scale: int | None = 10**12,
     damping_pct: int = 85,
+    node_count: int | None = None,
 ) -> DataFrame:
     """(node, rank): `iterations` rounds of DETERMINISTIC integer PageRank
     over the directed simple graph (distinct edges, self-loops dropped).
@@ -105,10 +106,19 @@ def pagerank_int(
     Scale safety: each round is one edges->ranks equi-join + one groupBy
     on dst (partial-aggregatable bigint sums); per-round lineage is cut
     with a lazy localCheckpoint (the iterative-loop discipline — without
-    it round T re-runs rounds 1..T-1). Magnitudes: sum of all rank mass
-    is <= n*scale, so bigint overflow needs n*scale*damping_pct > 2^63 —
-    at the default scale that is n > ~10^5... pick scale = 10^9 for
-    10^8-node graphs (document per deployment; the fixture n is ~10^3).
+    it round T re-runs rounds 1..T-1).
+
+    Overflow guard: total rank mass stays <= n*scale (base contracts it),
+    and a star graph can funnel ALL of it into one node, so the worst
+    intermediate is damping_pct * n * scale — that must fit in int64.
+    At the default scale 10^12 that caps n at ~1.08 * 10^5 nodes, so the
+    function VALIDATES: n is `node_count` if given, else one cheap
+    `nodes.count()` (which just prepays the lazy checkpoint the first
+    iteration would materialize anyway). An explicit over-limit `scale`
+    raises ValueError; `scale=None` auto-picks the largest power of 10
+    that is safe (capped at 10^12) — e.g. 10^10 at 10^7 nodes, 10^7 at
+    10^10 nodes. Rank values are only comparable across runs that used
+    the same scale, so persisted outputs should record it.
     """
     e = (
         edges.select("src", "dst")
@@ -122,6 +132,18 @@ def pagerank_int(
         .distinct()
         .localCheckpoint(eager=False)
     )
+    n = node_count if node_count is not None else nodes.count()
+    safe_scale = (2**63 - 1) // max(n, 1) // damping_pct
+    if scale is None:
+        scale = 1
+        while scale * 10 <= min(safe_scale, 10**12):
+            scale *= 10
+    elif scale > safe_scale:
+        raise ValueError(
+            f"pagerank_int: scale={scale} can overflow int64 at n={n}"
+            f" nodes (worst intermediate damping_pct*n*scale); pass"
+            f" scale<={safe_scale} or scale=None to auto-size"
+        )
     outdeg = e.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )

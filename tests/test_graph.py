@@ -195,3 +195,26 @@ def test_pagerank_int_hub_outranks_leaves(spark):
     # the hub (6 in-edges) and its sink (fed the hub's whole rank) both
     # outrank every leaf (base mass only)
     assert got["99"] > got["0"] and got["100"] > got["0"]
+
+
+def test_pagerank_int_overflow_guard(spark):
+    from openue_spark.ops.graph import pagerank_int
+
+    pairs = _random_pairs(3, n_nodes=20, n_edges=50)
+    edges = _edges_df(spark, pairs)
+    # an explicit scale whose star-graph worst case (85 * n * scale)
+    # exceeds int64 must be rejected up front, not overflow silently
+    with pytest.raises(ValueError, match="overflow"):
+        pagerank_int(edges, scale=10**17)
+    # scale=None auto-sizes: at 20 nodes the 10^12 cap is safe and wins
+    auto = {
+        r["node"]: r["rank"] for r in pagerank_int(edges, scale=None).collect()
+    }
+    assert auto == _brute_pagerank_int(pairs, scale=10**12)
+    # a claimed 10^7-node graph (node_count overrides the count) drops
+    # the auto scale to the largest safe power of 10: 10^10
+    big = {
+        r["node"]: r["rank"]
+        for r in pagerank_int(edges, scale=None, node_count=10**7).collect()
+    }
+    assert big == _brute_pagerank_int(pairs, scale=10**10)
