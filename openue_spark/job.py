@@ -103,8 +103,10 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         help="after materializing the graph, run the degree-oriented"
         " triangle/wedge census over the canonical entity graph"
         " (ops/graph.py — O(|E|^1.5) bounded, no hub blowup), write the"
-        " one-row result to graph_stats/ and log its latency to the"
-        " manifest: the standard KG-quality / clustering signal",
+        " one-row result to graph_stats/ and the top-100 hub entities by"
+        " 3-round integer PageRank (overflow-safe auto scale) to"
+        " graph_hubs/, logging both latencies to the manifest: the"
+        " standard KG-quality / clustering / centrality signals",
     )
     parser.add_argument(
         "--weights-from",
@@ -303,7 +305,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if args.graph_stats:
         from pyspark.sql import functions as F
 
-        from openue_spark.ops.graph import triangle_stats
+        from openue_spark.ops.graph import pagerank_int, triangle_stats
 
         t3 = time.time()
         with job_phase(spark, "graph-stats"):
@@ -324,6 +326,26 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             spark, args.out, run_id, "graph-stats",
             wall_ms=int((time.time() - t3) * 1000),
             row_count=srow.n_triangles, triple_count=srow.n_edges,
+        )
+        t4 = time.time()
+        with job_phase(spark, "graph-hubs"):
+            # hub entities: 3-round deterministic integer PageRank, scale
+            # auto-sized from srow.n_nodes so no graph size can overflow;
+            # (rank desc, node) makes the top-100 cut reproducible
+            hubs = (
+                pagerank_int(edges, iterations=3, scale=None,
+                             node_count=srow.n_nodes)
+                .orderBy(F.col("rank").desc(), F.col("node"))
+                .limit(100)
+            )
+            hubs.write.mode("overwrite").parquet(f"{args.out}/graph_hubs")
+            n_hubs = spark.read.parquet(f"{args.out}/graph_hubs").count()
+        print(f"[job] graph hubs: top {n_hubs} entities by 3-round integer"
+              f" PageRank ({time.time() - t4:.1f}s)")
+        log_stage_metric(
+            spark, args.out, run_id, "graph-hubs",
+            wall_ms=int((time.time() - t4) * 1000),
+            row_count=n_hubs, triple_count=srow.n_nodes,
         )
     if owns_session:
         spark.stop()

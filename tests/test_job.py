@@ -196,3 +196,18 @@ def test_job_graph_stats_flag(spark, tmp_path):
     ).collect()
     assert len(m) == 1 and m[0].wall_ms > 0
     assert m[0].row_count == got[0].n_triangles
+    # the same flag also writes the PageRank hub report: top-100 by
+    # (rank desc, node) of the auto-scaled 3-round integer PageRank
+    from openue_spark.ops.graph import pagerank_int
+
+    hubs = spark.read.parquet(f"{out}/graph_hubs").collect()
+    full = pagerank_int(
+        edges, iterations=3, scale=None, node_count=got[0].n_nodes
+    ).collect()
+    expect_hubs = sorted(full, key=lambda r: (-r.rank, r.node))[: len(hubs)]
+    assert sorted(hubs, key=lambda r: (-r.rank, r.node)) == expect_hubs
+    assert 0 < len(hubs) <= 100
+    mh = spark.read.parquet(f"{out}/manifest").where(
+        F.col("stage") == "graph-hubs"
+    ).collect()
+    assert len(mh) == 1 and mh[0].row_count == len(hubs)
