@@ -199,6 +199,25 @@ def main() -> int:
                 draw(4 * n, 4)  # noisier, bandwidth-sensitive point first
                 draw(n, 2)
 
+            # Stabilization rounds (the other unbiased protocol ADVICE r3
+            # named: "redraw until best-of each point stabilizes within a
+            # tolerance"): a draw round that IMPROVED a point's best by
+            # >5% means that point had not yet converged on its
+            # single-tenant plateau (a contended window was still
+            # depressing it — measured: a post-test-suite window left
+            # both points 16-30% under their quiet-window bests after the
+            # 2 fixed rounds, with each point's LAST draw still +10-22%
+            # over its previous). Stop when the best stops moving, capped
+            # at 2 extra rounds per point. The rule reads ONLY the
+            # point's own convergence — never eff, never the 0.8 bar — so
+            # it cannot select on the evidenced outcome.
+            for cores, iters in ((4 * n, 4), (n, 2)):
+                for _ in range(2):
+                    prev = best(cores)["triples_per_sec"]
+                    draw(cores, iters)
+                    if best(cores)["triples_per_sec"] <= prev * 1.05:
+                        break
+
             scaling = {
                 "scaling_points": {
                     f"local[{c}]_pinned": best(c)["triples_per_sec"]
