@@ -365,6 +365,16 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM training-prep chunking (ops/text.py): every document split into
+    overlapping fixed-token windows (max 64 tokens, stride 48) — per-row
+    explode, zero shuffles. Oracle mirrors the window arithmetic with
+    DuckDB range + list_slice."""
+    from .ops.text import chunk_token_windows
+
+    return chunk_token_windows(_t(spark, sf_dir, "documents"))
+
+
 # --- similarity: IVF approximate top-k (scale path; rows-only) ---
 
 
@@ -1586,6 +1596,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_quiet_customers": q_anti_join_quiet_customers,
         "rollup_region_revenue": q_rollup_region_revenue,
         "event_type_daily_stats": q_event_type_daily_stats,
+        # chunk_token_windows (round 4f): oracle-checked by selfcheck;
+        # tail because the head is full of unique coverage and its plan
+        # family (per-row HOF explode over documents) is represented
+        # there by w3/minhash shingling
+        "chunk_token_windows": q_chunk_token_windows,
     }
 
 
@@ -2546,6 +2561,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id,"
             " md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint"
             " FROM documents"
+        ),
+        # mirrors ops/text.chunk_token_windows (max 64, stride 48):
+        # same whitespace split, same start grid 0,48,96,... < n_tokens
+        # (DuckDB range() excludes the end == Spark sequence(0, n-1, 48)),
+        # same 1-based inclusive window slice (list_slice == slice),
+        # chunk_idx = start/stride exactly because starts are multiples
+        "chunk_token_windows": (
+            "WITH d AS (SELECT doc_id,"
+            "  regexp_split_to_array(trim(text), '\\s+') AS toks"
+            " FROM documents WHERE length(trim(text)) > 0),"
+            " s AS (SELECT doc_id, toks,"
+            "   unnest(range(0, len(toks), 48)) AS start_tok FROM d)"
+            " SELECT doc_id, (start_tok // 48)::BIGINT AS chunk_idx,"
+            "  start_tok::BIGINT AS start_tok,"
+            "  len(list_slice(toks, start_tok + 1, start_tok + 64))::BIGINT"
+            "   AS n_chunk_tokens,"
+            "  array_to_string(list_slice(toks, start_tok + 1,"
+            "   start_tok + 64), ' ') AS chunk_text"
+            " FROM s"
         ),
         # synth_media's metadata is a pure function of media_id
         # (ops/multimodal.py:64-85): kind = ['image','audio','video'][i%3],

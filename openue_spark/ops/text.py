@@ -1,8 +1,9 @@
 """Text-analysis operators for training-data pipelines.
 
 Language-ID (stopword-hit heuristic), quality scoring (length / punctuation /
-stopword ratios), token counting (whitespace + BPE-ish regex), and document
-fingerprinting (normalized-text hash). All pure built-in column expressions
+stopword ratios), token counting (whitespace + BPE-ish regex), document
+fingerprinting (normalized-text hash), and fixed-token-window chunking with
+stride (LLM training-prep). All pure built-in column expressions
 (whole-stage codegen, no Python), each with a DuckDB oracle in contract.py.
 """
 
@@ -66,6 +67,51 @@ def with_quality_score(docs: DataFrame) -> DataFrame:
             f" * least(1.0, 4.0 * CASE WHEN {n_tok} = 0 THEN 0.0"
             f"          ELSE ({n_sw}) / cast({n_tok} as double) END), 4)"
         ).alias("quality_score"),
+    )
+
+
+def chunk_token_windows(
+    docs: DataFrame, max_tokens: int = 64, stride: int = 48
+) -> DataFrame:
+    """(doc_id, chunk_idx, start_tok, n_chunk_tokens, chunk_text): every
+    document split into fixed-size token windows — the standard LLM
+    training-prep step (max_tokens per window, overlapping when
+    stride < max_tokens). Whitespace tokens; window starts are
+    0, stride, 2*stride, ... < n_tokens, so the tail window may be short
+    and every token appears in >= 1 window. Empty/whitespace-only docs
+    emit no chunks. Fully deterministic: chunk_idx = start_tok / stride.
+
+    Scale shape: a per-row explode — zero shuffles, parallelism rides the
+    input partitions; output row count is ~n_tokens/stride per doc. The
+    tokenized array is materialized behind a barrier before the window
+    lambda consumes it (CollapseProject would otherwise inline the split
+    INTO the transform lambda and re-run it once per window — the
+    measured-14x re-evaluation hazard documented in CLAUDE.md).
+    """
+    from .dedup import _barrier
+
+    toked = _barrier(
+        docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+            "doc_id",
+            F.split(F.trim(F.col("text")), r"\s+").alias("_toks"),
+        )
+    )
+    windows = F.expr(
+        f"transform(sequence(0, size(_toks) - 1, {stride}),"
+        f" s -> struct(CAST(s AS BIGINT) AS start_tok,"
+        f"   CAST(size(slice(_toks, s + 1, {max_tokens})) AS BIGINT)"
+        f"     AS n_chunk_tokens,"
+        f"   array_join(slice(_toks, s + 1, {max_tokens}), ' ')"
+        f"     AS chunk_text))"
+    )
+    return toked.select(
+        "doc_id", F.posexplode(windows).alias("_pos", "_w")
+    ).select(
+        "doc_id",
+        F.col("_pos").cast("long").alias("chunk_idx"),
+        F.col("_w.start_tok").alias("start_tok"),
+        F.col("_w.n_chunk_tokens").alias("n_chunk_tokens"),
+        F.col("_w.chunk_text").alias("chunk_text"),
     )
 
 

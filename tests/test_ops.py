@@ -248,6 +248,54 @@ def test_text_ops_edge_cases(spark):
     assert fp[0] == fp[1]  # whitespace-only normalizes to empty
 
 
+def _brute_chunks(text, max_tokens, stride):
+    toks = text.strip().split()
+    if not toks:
+        return []
+    return [
+        (i, s, len(toks[s : s + max_tokens]), " ".join(toks[s : s + max_tokens]))
+        for i, s in enumerate(range(0, len(toks), stride))
+    ]
+
+
+@pytest.mark.parametrize("max_tokens,stride", [(64, 48), (8, 8), (5, 3)])
+def test_chunk_token_windows_matches_brute_force(spark, docs, max_tokens, stride):
+    from openue_spark.ops.text import chunk_token_windows
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    got = {}
+    rows = chunk_token_windows(docs, max_tokens, stride).collect()
+    for r in rows:
+        got.setdefault(r.doc_id, []).append(
+            (r.chunk_idx, r.start_tok, r.n_chunk_tokens, r.chunk_text)
+        )
+    for doc_id, text in texts.items():
+        expect = _brute_chunks(text, max_tokens, stride)
+        assert sorted(got.get(doc_id, [])) == expect, doc_id
+    # overlap invariant: with stride < max_tokens every token is covered,
+    # and consecutive windows share max_tokens - stride tokens
+    if stride < max_tokens:
+        some = sorted(got[next(iter(texts))])
+        for (_, s1, n1, _), (_, s2, _, _) in zip(some, some[1:]):
+            assert s2 - s1 == stride and s1 + n1 >= s2
+
+
+def test_chunk_token_windows_edge_cases(spark):
+    from openue_spark.ops.text import chunk_token_windows
+
+    rows = [(0, ""), (1, "   "), (2, "one"), (3, " ".join(str(i) for i in range(96)))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = chunk_token_windows(df, max_tokens=64, stride=48).collect()
+    by_doc = {}
+    for r in got:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 0 not in by_doc and 1 not in by_doc  # empty docs emit no chunks
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "one"
+    # 96 tokens, starts 0 and 48: full window then a 48-token tail
+    c3 = sorted(by_doc[3], key=lambda r: r.chunk_idx)
+    assert [(r.start_tok, r.n_chunk_tokens) for r in c3] == [(0, 64), (48, 48)]
+
+
 def test_multimodal_plumbing(spark):
     from openue_spark.ops.multimodal import (
         decode_features,
