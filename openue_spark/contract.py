@@ -365,6 +365,16 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_fingerprint(_t(spark, sf_dir, "documents"))
 
 
+def q_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary stats (ops/text.py): per-token document frequency
+    + term frequency over the documents table — the vocab-building pass
+    behind df-based quality filters. Exact integer counts, so the driver
+    value-hashes it."""
+    from .ops.text import token_df
+
+    return token_df(_t(spark, sf_dir, "documents"))
+
+
 def q_chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM training-prep chunking (ops/text.py): every document split into
     overlapping fixed-token windows (max 64 tokens, stride 48) — per-row
@@ -1596,11 +1606,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_quiet_customers": q_anti_join_quiet_customers,
         "rollup_region_revenue": q_rollup_region_revenue,
         "event_type_daily_stats": q_event_type_daily_stats,
-        # chunk_token_windows (round 4f): oracle-checked by selfcheck;
-        # tail because the head is full of unique coverage and its plan
-        # family (per-row HOF explode over documents) is represented
-        # there by w3/minhash shingling
+        # chunk_token_windows + token_df (round 4f): oracle-checked by
+        # selfcheck; tail because the head is full of unique coverage and
+        # their plan families (per-row HOF explode over documents;
+        # explode + groupBy agg) are represented there by w3/minhash
+        # shingling and a1/a2
         "chunk_token_windows": q_chunk_token_windows,
+        "token_df": q_token_df,
     }
 
 
@@ -2561,6 +2573,17 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id,"
             " md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint"
             " FROM documents"
+        ),
+        # mirrors ops/text.token_df: same lowercased whitespace split
+        # (regex escape divergence noted — DuckDB literal keeps \s as-is),
+        # same empty-doc drop; ::BIGINT guards DuckDB's HUGEINT counts
+        "token_df": (
+            "WITH t AS (SELECT doc_id,"
+            "  unnest(regexp_split_to_array(trim(lower(text)), '\\s+'))"
+            "   AS token"
+            " FROM documents WHERE length(trim(text)) > 0)"
+            " SELECT token, count(DISTINCT doc_id)::BIGINT AS df,"
+            "  count(*)::BIGINT AS tf FROM t GROUP BY token"
         ),
         # mirrors ops/text.chunk_token_windows (max 64, stride 48):
         # same whitespace split, same start grid 0,48,96,... < n_tokens

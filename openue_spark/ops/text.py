@@ -115,6 +115,32 @@ def chunk_token_windows(
     )
 
 
+def token_df(docs: DataFrame, min_df: int = 1) -> DataFrame:
+    """(token, df, tf): corpus-level vocabulary statistics — document
+    frequency (docs containing the token) and term frequency (total
+    occurrences) per lowercased whitespace token. The vocab-building pass
+    behind df-based quality filters and posting-list caps.
+
+    Scale shape: explode + one groupBy(token) — tf is a plain count
+    (partial-aggregatable map-side) and df a count_distinct(doc_id) whose
+    partials dedup map-side per (token, doc) before the shuffle; no
+    driver state, no collect. Hot tokens ("the") are single keys, but
+    their shuffled payload is already the deduped (token, doc_id) set —
+    the same bound a posting-list build pays.
+    """
+    toks = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("token"),
+    )
+    out = toks.groupBy("token").agg(
+        F.count_distinct("doc_id").cast("long").alias("df"),
+        F.count(F.lit(1)).cast("long").alias("tf"),
+    )
+    if min_df > 1:
+        out = out.where(F.col("df") >= min_df)
+    return out
+
+
 def with_fingerprint(docs: DataFrame) -> DataFrame:
     """Normalized-text fingerprint: md5 of whitespace-collapsed lowercase
     text — catches near-exact duplicates that differ only in spacing/case."""

@@ -280,6 +280,24 @@ def test_chunk_token_windows_matches_brute_force(spark, docs, max_tokens, stride
             assert s2 - s1 == stride and s1 + n1 >= s2
 
 
+def test_token_df_matches_brute_force(spark, docs):
+    from openue_spark.ops.text import token_df
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    df_exp, tf_exp = {}, {}
+    for _, text in texts.items():
+        toks = text.strip().lower().split()
+        for t in set(toks):
+            df_exp[t] = df_exp.get(t, 0) + 1
+        for t in toks:
+            tf_exp[t] = tf_exp.get(t, 0) + 1
+    got = {r.token: (r.df, r.tf) for r in token_df(docs).collect()}
+    assert got == {t: (df_exp[t], tf_exp[t]) for t in tf_exp}
+    # min_df filter
+    got2 = {r.token for r in token_df(docs, min_df=10).collect()}
+    assert got2 == {t for t, d in df_exp.items() if d >= 10} and got2
+
+
 def test_chunk_token_windows_edge_cases(spark):
     from openue_spark.ops.text import chunk_token_windows
 
