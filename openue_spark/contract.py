@@ -375,6 +375,19 @@ def q_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_df(_t(spark, sf_dir, "documents"))
 
 
+def q_hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stable train/val/test assignment (ops/sampling.py): split is a pure
+    function of md5(doc_id)'s hex prefix, so growing the corpus never
+    moves a key between splits and the oracle states the same CASE over
+    the same md5 verbatim."""
+    from .ops.sampling import hash_split
+
+    docs = _t(spark, sf_dir, "documents")
+    return hash_split(
+        docs, [("train", 0.8), ("val", 0.1), ("test", 0.1)], "doc_id"
+    ).select("doc_id", "split")
+
+
 def q_chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM training-prep chunking (ops/text.py): every document split into
     overlapping fixed-token windows (max 64 tokens, stride 48) — per-row
@@ -1613,6 +1626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # shingling and a1/a2
         "chunk_token_windows": q_chunk_token_windows,
         "token_df": q_token_df,
+        "hash_split_assignment": q_hash_split_assignment,
     }
 
 
@@ -2572,6 +2586,21 @@ def oracle_sql() -> dict[str, str]:
         "doc_fingerprint": (
             "SELECT doc_id,"
             " md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint"
+            " FROM documents"
+        ),
+        # mirrors ops/sampling.hash_split([("train",.8),("val",.1),
+        # ("test",.1)], digits=4): thresholds are _cut_hex of the float
+        # cumulative fractions — round(0.8*65536)=52429='cccd',
+        # round((0.8+0.1)*65536)=58982='e666' (same float math as the
+        # Spark-side literal construction); md5 of the identical decimal
+        # key string is bit-identical cross-engine and the hex prefix
+        # compares lexicographically, so no hex->int builtin divergence
+        "hash_split_assignment": (
+            "SELECT doc_id,"
+            " CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'cccd'"
+            "  THEN 'train'"
+            " WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < 'e666'"
+            "  THEN 'val' ELSE 'test' END AS split"
             " FROM documents"
         ),
         # mirrors ops/text.token_df: same lowercased whitespace split

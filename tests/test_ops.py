@@ -298,6 +298,63 @@ def test_token_df_matches_brute_force(spark, docs):
     assert got2 == {t for t, d in df_exp.items() if d >= 10} and got2
 
 
+def _brute_bucket(key, salt="", digits=4):
+    import hashlib
+
+    return hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:digits]
+
+
+def test_hash_split_matches_brute_force_and_is_subset_stable(spark):
+    from openue_spark.ops.sampling import _cut_hex, hash_split
+
+    splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    cut1, cut2 = _cut_hex(0.8), _cut_hex(0.8 + 0.1)
+
+    def brute(key):
+        b = _brute_bucket(key)
+        return "train" if b < cut1 else ("val" if b < cut2 else "test")
+
+    keys = list(range(500))
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    got = {r.doc_id: r.split for r in hash_split(df, splits, "doc_id").collect()}
+    assert got == {k: brute(k) for k in keys}
+    assert set(got.values()) == {"train", "val", "test"}
+    # fraction accuracy on 500 keys (binomial, generous 3-sigma-ish band)
+    n_train = sum(1 for v in got.values() if v == "train")
+    assert 350 <= n_train <= 450
+    # subset stability: assigning HALF the corpus gives the identical
+    # split per key — growing a corpus never migrates keys across splits
+    half = spark.createDataFrame([(k,) for k in keys[:250]], "doc_id long")
+    got_half = {
+        r.doc_id: r.split for r in hash_split(half, splits, "doc_id").collect()
+    }
+    assert got_half == {k: got[k] for k in keys[:250]}
+    # a salt redraws assignments
+    salted = {
+        r.doc_id: r.split
+        for r in hash_split(df, splits, "doc_id", salt="v2").collect()
+    }
+    assert salted != got
+    with pytest.raises(ValueError, match="sum"):
+        hash_split(df, [("a", 0.5), ("b", 0.4)], "doc_id")
+
+
+def test_deterministic_sample_is_stable_and_partition_invariant(spark):
+    from openue_spark.ops.sampling import _cut_hex, deterministic_sample
+
+    cut = _cut_hex(0.25)
+    keys = list(range(400))
+    expect = {k for k in keys if _brute_bucket(k) < cut}
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id long")
+    got1 = {r.doc_id for r in deterministic_sample(df, 0.25, "doc_id").collect()}
+    got7 = {
+        r.doc_id
+        for r in deterministic_sample(df.repartition(7), 0.25, "doc_id").collect()
+    }
+    assert got1 == expect == got7
+    assert 60 <= len(got1) <= 140  # ~100 expected
+
+
 def test_chunk_token_windows_edge_cases(spark):
     from openue_spark.ops.text import chunk_token_windows
 
