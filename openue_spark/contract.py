@@ -382,7 +382,9 @@ def q_hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same md5 verbatim."""
     from .ops.sampling import hash_split
 
-    docs = _t(spark, sf_dir, "documents")
+    # spread=False: one md5 per row needs no compute-spreading shuffle —
+    # the op's whole point is a zero-shuffle per-row projection
+    docs = _t(spark, sf_dir, "documents", spread=False)
     return hash_split(
         docs, [("train", 0.8), ("val", 0.1), ("test", 0.1)], "doc_id"
     ).select("doc_id", "split")
