@@ -6,10 +6,13 @@ Python list); the first questions a consumer asks of the *constructed*
 graph are graph-shaped: "what is within two hops of this entity?"
 (neighborhood expansion for context retrieval / negative-sample locality)
 and "how clustered is this graph?" (triangle/wedge census — the standard
-KG-quality and community-structure signal). Both ops below take a plain
-(src, dst) edge DataFrame — canonical triples projected to subj/obj, or
-any co-occurrence construction — and are exact, integer-valued, and
-mirrored construct-for-construct by DuckDB oracles in contract.py.
+KG-quality and community-structure signal), plus "which entities matter?"
+(deterministic integer PageRank) and "what belongs together?" (weakly
+connected components, the graph-API face of the linking engine's
+production CC). Every op takes a plain (src, dst) edge DataFrame —
+canonical triples projected to subj/obj, or any co-occurrence
+construction — and is exact, integer-valued, and mirrored
+construct-for-construct by a DuckDB oracle in contract.py.
 
 Scale design:
 
@@ -174,6 +177,33 @@ def pagerank_int(
             .localCheckpoint(eager=False)
         )
     return ranks
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """(node, component): min-label weakly-connected components of the
+    (src, dst) edge list — the graph-API face of the linking engine's
+    production CC (pipeline/linking.py): contraction-interleaved
+    label propagation, per-round localCheckpoint lineage cuts, and the
+    gated exact driver finish for small/contracted edge sets. Hash-checked
+    against a DuckDB transitive-closure oracle via the driver row
+    `link_connected_components`; this wrapper only renames the schema.
+    Isolated nodes (no edges) do not appear — callers can left-join
+    their node table and coalesce(component, node)."""
+    from ..pipeline.linking import connected_components as _cc
+
+    e = (
+        edges.select(F.col("src").alias("a_id"), F.col("dst").alias("b_id"))
+        .where(F.col("a_id") != F.col("b_id"))
+        .distinct()
+    )
+    nodes = (
+        e.select(F.col("a_id").alias("mention_id"))
+        .unionByName(e.select(F.col("b_id").alias("mention_id")))
+        .distinct()
+    )
+    return _cc(nodes, e, strict=True).select(
+        F.col("mention_id").alias("node"), F.col("label").alias("component")
+    )
 
 
 def triangle_stats(edges: DataFrame) -> DataFrame:

@@ -197,6 +197,50 @@ def test_pagerank_int_hub_outranks_leaves(spark):
     assert got["99"] > got["0"] and got["100"] > got["0"]
 
 
+def _brute_components(pairs):
+    adj = _adj(pairs)
+    comp = {}
+    for start in adj:
+        if start in comp:
+            continue
+        seen, stack = {start}, [start]
+        while stack:
+            v = stack.pop()
+            for w in adj[v]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        label = min(seen)
+        for v in seen:
+            comp[v] = label
+    return comp
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_connected_components_matches_brute_force(spark, seed):
+    from openue_spark.ops.graph import connected_components
+
+    pairs = _random_pairs(seed, n_nodes=40, n_edges=35)  # sparse: many comps
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(_edges_df(spark, pairs)).collect()
+    }
+    assert got == _brute_components(pairs)
+
+
+def test_connected_components_chain_and_islands(spark):
+    from openue_spark.ops.graph import connected_components
+
+    # a 12-node chain (deep diameter exercises contraction) + a triangle
+    pairs = [(i, i + 1) for i in range(11)] + [(90, 91), (91, 92), (92, 90)]
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(_edges_df(spark, pairs)).collect()
+    }
+    assert got == _brute_components(pairs)
+    assert len(set(got.values())) == 2
+
+
 def test_pagerank_int_overflow_guard(spark):
     from openue_spark.ops.graph import pagerank_int
 
