@@ -109,6 +109,14 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         " standard KG-quality / clustering / centrality signals",
     )
     parser.add_argument(
+        "--sample-fraction", type=float, default=None, metavar="F",
+        help="run on a deterministic sample of WHOLE conversations: keep a"
+        " conv_id iff its stable hash falls under F (ops/sampling.py) —"
+        " the same subset every run/partitioning, turn ordering intact."
+        " Like --input, the sampled corpus is part of the run's identity:"
+        " don't change F across resumes of one --out dir",
+    )
+    parser.add_argument(
         "--weights-from",
         help="load the best (metric, step) weights checkpoint from this dir's"
         " checkpoints/ table and broadcast it to the extraction UDFs"
@@ -204,6 +212,17 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     else:
         transcripts = transcripts_spark(
             spark, args.synthesize, offset=args.synthesize_offset
+        )
+    if args.sample_fraction is not None:
+        from openue_spark.ops.sampling import deterministic_sample
+
+        transcripts = deterministic_sample(
+            transcripts, args.sample_fraction, "conv_id", salt="corpus-sample"
+        )
+        print(
+            f"[job] sampling {args.sample_fraction:g} of conversations"
+            " (stable hash of conv_id — whole conversations, same subset"
+            " every run)"
         )
 
     # an increment's extraction manifest lives under its own subdir: the

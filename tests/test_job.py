@@ -169,6 +169,38 @@ def test_profile_job_smoke(tmp_path):
         assert phase in out, f"phase label {phase!r} missing from rollup:\n{out[-2000:]}"
 
 
+def test_job_sample_fraction_is_stable_conversation_subset(spark, tmp_path):
+    """--sample-fraction extracts exactly the raw triples of the kept
+    conversations: the sampled run's triples == the full run's triples
+    filtered to the deterministic conv_id subset (whole conversations,
+    same subset every run)."""
+    from openue_spark.fixtures import transcripts_spark
+    from openue_spark.job import main
+    from openue_spark.ops.sampling import deterministic_sample
+
+    full_out = str(tmp_path / "kg_full")
+    samp_out = str(tmp_path / "kg_samp")
+    assert main(["--synthesize", "2000", "--out", full_out, "--no-link",
+                 "--shards", "2"], spark=spark) == 0
+    assert main(["--synthesize", "2000", "--out", samp_out, "--no-link",
+                 "--shards", "2", "--sample-fraction", "0.4"], spark=spark) == 0
+    kept = {
+        r.conv_id
+        for r in deterministic_sample(
+            transcripts_spark(spark, 2000), 0.4, "conv_id",
+            salt="corpus-sample",
+        ).select("conv_id").distinct().collect()
+    }
+    cols = ["conv_id", "turn_idx", "subj", "pred", "obj"]
+    full = spark.read.parquet(f"{full_out}/triples")
+    samp = spark.read.parquet(f"{samp_out}/triples")
+    expect = sorted(
+        tuple(r) for r in full.where(F.col("conv_id").isin(kept)).select(*cols).collect()
+    )
+    got = sorted(tuple(r) for r in samp.select(*cols).collect())
+    assert got == expect and 0 < len(got) < full.count()
+
+
 def test_job_graph_stats_flag(spark, tmp_path):
     """--graph-stats appends a triangle-census phase: one-row parquet at
     graph_stats/ that equals a direct triangle_stats over the materialized
