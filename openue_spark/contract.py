@@ -1541,7 +1541,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": q_doc_fingerprint,
         "multimodal_features": q_multimodal_features,
         "multimodal_resize_plan": q_multimodal_resize_plan,
-        "multimodal_frame_plan": q_multimodal_frame_plan,
+        # chunk_token_windows holds the head slot frame_plan held until
+        # r4f: resize_plan keeps the multimodal plan-math family
+        # hash-checked (both rows value-check the same synth_media-derived
+        # arithmetic pattern), while token-window chunking is a NEW op
+        # family (HOF slice windows over documents) with no head proxy
+        "chunk_token_windows": q_chunk_token_windows,
         # round-3 oracle upgrades (previously rows-only pipelines)
         "extract_diff_vs_golden": q_extract_diff_vs_golden,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -1621,12 +1626,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anti_join_quiet_customers": q_anti_join_quiet_customers,
         "rollup_region_revenue": q_rollup_region_revenue,
         "event_type_daily_stats": q_event_type_daily_stats,
-        # chunk_token_windows + token_df (round 4f): oracle-checked by
-        # selfcheck; tail because the head is full of unique coverage and
-        # their plan families (per-row HOF explode over documents;
-        # explode + groupBy agg) are represented there by w3/minhash
-        # shingling and a1/a2
-        "chunk_token_windows": q_chunk_token_windows,
+        # multimodal_frame_plan moved here in r4f (chunk_token_windows
+        # took its head slot): its value-check pattern is the same
+        # synth_media plan arithmetic that multimodal_resize_plan keeps
+        # head-checked. token_df + hash_split_assignment: oracle-checked
+        # by selfcheck; tail because their plan families (explode +
+        # groupBy agg; md5-projection) are represented in the head by
+        # a1/a2 and doc_fingerprint
+        "multimodal_frame_plan": q_multimodal_frame_plan,
         "token_df": q_token_df,
         "hash_split_assignment": q_hash_split_assignment,
     }
