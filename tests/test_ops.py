@@ -339,6 +339,20 @@ def test_hash_split_matches_brute_force_and_is_subset_stable(spark):
         hash_split(df, [("a", 0.5), ("b", 0.4)], "doc_id")
 
 
+def test_deterministic_sample_fractions_nest_monotonically(spark):
+    """Raising the fraction only ever ADDS rows: sample(f1) is a subset of
+    sample(f2) for f1 <= f2 — growing a pilot corpus never redraws it."""
+    from openue_spark.ops.sampling import deterministic_sample
+
+    df = spark.createDataFrame([(k,) for k in range(300)], "doc_id long")
+    prev: set = set()
+    for f in (0.05, 0.2, 0.5, 0.9, 1.0):
+        cur = {r.doc_id for r in deterministic_sample(df, f, "doc_id").collect()}
+        assert prev <= cur, f
+        prev = cur
+    assert prev == set(range(300))  # fraction 1.0 keeps everything
+
+
 def test_deterministic_sample_is_stable_and_partition_invariant(spark):
     from openue_spark.ops.sampling import _cut_hex, deterministic_sample
 
