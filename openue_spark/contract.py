@@ -375,6 +375,16 @@ def q_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_df(_t(spark, sf_dir, "documents"))
 
 
+def q_text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-trigram language-ID (ops/text.py): distinct-trigram
+    overlap against per-language profile arrays. The integer hit counts
+    vary per document, so the value hash is meaningful even though the
+    fixture corpus is monolingual."""
+    from .ops.text import lang_id_ngram
+
+    return lang_id_ngram(_t(spark, sf_dir, "documents"))
+
+
 def q_hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stable train/val/test assignment (ops/sampling.py): split is a pure
     function of md5(doc_id)'s hex prefix, so growing the corpus never
@@ -1636,6 +1646,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_frame_plan": q_multimodal_frame_plan,
         "token_df": q_token_df,
         "hash_split_assignment": q_hash_split_assignment,
+        # n-gram lang-ID: tail; the head's text_lang_id keeps the
+        # lang-ID feature hash-checked (stopword variant) — this row adds
+        # the trigram-profile mechanism the training-data brief names
+        "text_lang_id_ngram": q_text_lang_id_ngram,
     }
 
 
@@ -2596,6 +2610,28 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id,"
             " md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint"
             " FROM documents"
+        ),
+        # mirrors ops/text.lang_id_ngram construct-for-construct: same
+        # distinct-trigram build (DuckDB range(1, n-1) == Spark
+        # sequence(1, n-2): both emit 1..n-2), same profile literals,
+        # same >=-ties-to-en rule; list_distinct/list_intersect are the
+        # DuckDB spellings of array_distinct/array_intersect
+        "text_lang_id_ngram": (
+            "WITH t AS (SELECT doc_id,"
+            "  CASE WHEN length(lower(text)) < 3 THEN []::VARCHAR[]"
+            "   ELSE list_distinct(list_transform("
+            "    range(1, length(lower(text)) - 1),"
+            "    i -> substr(lower(text), CAST(i AS INT), 3))) END AS tri"
+            " FROM documents),"
+            " s AS (SELECT doc_id,"
+            "  len(list_intersect(tri, ['the','and','ing','ion','ent',"
+            "   'he ',' th','er ','in ',' an']))::BIGINT AS en_hits,"
+            "  len(list_intersect(tri, ['de ','os ',' de','la ','el ',"
+            "   'que','ue ',' la','as ','ión']))::BIGINT AS es_hits"
+            " FROM t)"
+            " SELECT doc_id, en_hits, es_hits,"
+            "  CASE WHEN en_hits >= es_hits THEN 'en' ELSE 'es' END"
+            "   AS lang_pred FROM s"
         ),
         # mirrors ops/sampling.hash_split([("train",.8),("val",.1),
         # ("test",.1)], digits=4): thresholds are _cut_hex of the float

@@ -115,6 +115,48 @@ def chunk_token_windows(
     )
 
 
+# Tiny character-trigram profiles for the n-gram language-ID heuristic.
+# Real deployments load bigger per-language profiles; the mechanism —
+# distinct-trigram overlap against broadcast profile arrays — is what
+# scales (one pass, no shuffle, profile size is a constant).
+TRIGRAMS_EN = ["the", "and", "ing", "ion", "ent", "he ", " th", "er ", "in ", " an"]
+TRIGRAMS_ES = ["de ", "os ", " de", "la ", "el ", "que", "ue ", " la", "as ", "ión"]
+
+
+def lang_id_ngram(docs: DataFrame) -> DataFrame:
+    """(doc_id, en_hits, es_hits, lang_pred): character-trigram language
+    ID — count how many DISTINCT trigrams of the lowercased text appear
+    in each language's profile; predict the higher-overlap language
+    (ties -> 'en'). Pure column algebra (sequence + transform + intersect),
+    zero shuffles; the integer hit counts make the row value-checkable
+    even on a monolingual corpus."""
+    tri = (
+        "CASE WHEN length(lower(text)) < 3"
+        " THEN cast(array() as array<string>)"
+        " ELSE array_distinct(transform("
+        "  sequence(1, length(lower(text)) - 2),"
+        "  i -> substring(lower(text), i, 3))) END"
+    )
+
+    def lit_arr(grams: list[str]) -> str:
+        return "array(" + ", ".join(f"'{g}'" for g in grams) + ")"
+
+    return docs.select(
+        "doc_id",
+        F.expr(f"size(array_intersect({tri}, {lit_arr(TRIGRAMS_EN)}))")
+        .cast("long")
+        .alias("en_hits"),
+        F.expr(f"size(array_intersect({tri}, {lit_arr(TRIGRAMS_ES)}))")
+        .cast("long")
+        .alias("es_hits"),
+    ).withColumn(
+        "lang_pred",
+        F.when(F.col("en_hits") >= F.col("es_hits"), F.lit("en")).otherwise(
+            F.lit("es")
+        ),
+    )
+
+
 def token_df(docs: DataFrame, min_df: int = 1) -> DataFrame:
     """(token, df, tf): corpus-level vocabulary statistics — document
     frequency (docs containing the token) and term frequency (total

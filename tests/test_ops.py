@@ -298,6 +298,34 @@ def test_token_df_matches_brute_force(spark, docs):
     assert got2 == {t for t, d in df_exp.items() if d >= 10} and got2
 
 
+def test_lang_id_ngram_discriminates_and_handles_edges(spark):
+    from openue_spark.ops.text import TRIGRAMS_EN, TRIGRAMS_ES, lang_id_ngram
+
+    rows = [
+        (0, "the king and the queen were singing in the morning"),
+        (1, "la casa de los que viven en la aldea de las montañas"),
+        (2, ""),        # empty -> 0/0 -> tie -> en
+        (3, "ab"),      # shorter than a trigram
+        (4, "xyzzyx"),  # no profile trigrams at all
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in lang_id_ngram(df).collect()}
+    assert got[0].lang_pred == "en" and got[0].en_hits > got[0].es_hits
+    assert got[1].lang_pred == "es" and got[1].es_hits > got[1].en_hits
+    for d in (2, 3, 4):
+        assert (got[d].en_hits, got[d].es_hits, got[d].lang_pred) == (0, 0, "en")
+
+    # brute-force the hit counts for the two real sentences
+    def brute(text, grams):
+        t = text.lower()
+        tris = {t[i : i + 3] for i in range(len(t) - 2)}
+        return len(tris & set(grams))
+
+    for d in (0, 1):
+        assert got[d].en_hits == brute(rows[d][1], TRIGRAMS_EN)
+        assert got[d].es_hits == brute(rows[d][1], TRIGRAMS_ES)
+
+
 def _brute_bucket(key, salt="", digits=4):
     import hashlib
 
