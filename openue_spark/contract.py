@@ -375,6 +375,17 @@ def q_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_df(_t(spark, sf_dir, "documents"))
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (winnowing/MOSS) document fingerprints (ops/text.py):
+    min 32-bit k-gram hash per sliding window, exploded to (doc_id, fp)
+    rows. DuckDB mirrors the rolling k-gram build, the md5-prefix int
+    hash (('0x'||hex)::BIGINT == Spark conv, probed bit-identical), and
+    the window-min selection construct-for-construct."""
+    from .ops.text import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
 def q_text_lang_id_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-trigram language-ID (ops/text.py): distinct-trigram
     overlap against per-language profile arrays. The integer hit counts
@@ -1650,6 +1661,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # lang-ID feature hash-checked (stopword variant) — this row adds
         # the trigram-profile mechanism the training-data brief names
         "text_lang_id_ngram": q_text_lang_id_ngram,
+        # winnowing fingerprints: tail; the head's doc_fingerprint +
+        # minhash rows keep the fingerprint/shingle-hash family checked
+        "winnow_fingerprints": q_winnow_fingerprints,
     }
 
 
@@ -2610,6 +2624,27 @@ def oracle_sql() -> dict[str, str]:
             "SELECT doc_id,"
             " md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint"
             " FROM documents"
+        ),
+        # mirrors ops/text.winnow_fingerprints(k=3, window=4): same
+        # rolling k-gram build (range(1, x+1) == sequence(1, x); 1-based
+        # inclusive list_slice == slice(arr, i, k)), same md5-prefix
+        # 32-bit hash (('0x'||hex)::BIGINT == Spark conv(hex,16,10),
+        # probed bit-identical), same window-min + per-doc dedup; no
+        # global DISTINCT needed — duplicates exist only within a doc
+        "winnow_fingerprints": (
+            "WITH d AS (SELECT doc_id,"
+            "  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks"
+            " FROM documents WHERE length(trim(text)) > 0),"
+            " h AS (SELECT doc_id, list_transform("
+            "   range(1, greatest(len(toks) - 2, 1) + 1),"
+            "   i -> ('0x' || substr(md5(array_to_string("
+            "     list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 2),"
+            "     ' ')), 1, 8))::BIGINT) AS hs FROM d),"
+            " w AS (SELECT doc_id, list_distinct(list_transform("
+            "   range(1, greatest(len(hs) - 3, 1) + 1),"
+            "   j -> list_aggregate(list_slice(hs, CAST(j AS INT),"
+            "     CAST(j AS INT) + 3), 'min'))) AS sel FROM h)"
+            " SELECT doc_id, unnest(sel) AS fp FROM w"
         ),
         # mirrors ops/text.lang_id_ngram construct-for-construct: same
         # distinct-trigram build (DuckDB range(1, n-1) == Spark

@@ -183,6 +183,55 @@ def token_df(docs: DataFrame, min_df: int = 1) -> DataFrame:
     return out
 
 
+def winnow_fingerprints(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
+    """(doc_id, fp): winnowing document fingerprints (Schleimer/Wilkerson/
+    Aiken's MOSS algorithm — the rolling-hash fingerprint standard): hash
+    every ROLLING word k-gram to a 32-bit int (md5 prefix, the repo's
+    engine-portable int hash), then keep the MINIMUM hash of every
+    `window` consecutive k-gram hashes, dedup'd per document and exploded
+    to rows. Guarantees: any shared run of window+k-1 tokens between two
+    documents yields at least one shared fingerprint, while storage is
+    ~1/window of the k-gram count — the near-dup/plagiarism index trade.
+
+    Scale shape: three narrow per-row stages (tokenize, hash, window-min)
+    with barriers between them — each stage's lambda body references the
+    previous stage's computed array, exactly the shape CollapseProject
+    would otherwise inline and re-evaluate per element (the measured-14x
+    hazard) — then one explode. Zero shuffles: fingerprints are already
+    distinct within a document, and cross-document duplicates are the
+    SIGNAL (shared fingerprints = candidate near-dups, joinable on fp).
+    """
+    from .dedup import _barrier
+
+    toked = _barrier(
+        docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+            "doc_id",
+            F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("_toks"),
+        )
+    )
+    hashed = _barrier(
+        toked.select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(1, greatest(size(_toks) - {k - 1}, 1)),"
+                f" i -> cast(conv(substring("
+                f"   md5(concat_ws(' ', slice(_toks, i, {k}))), 1, 8),"
+                f"  16, 10) as bigint))"
+            ).alias("_hs"),
+        )
+    )
+    return hashed.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"array_distinct(transform("
+                f" sequence(1, greatest(size(_hs) - {window - 1}, 1)),"
+                f" j -> array_min(slice(_hs, j, {window}))))"
+            )
+        ).alias("fp"),
+    )
+
+
 def with_fingerprint(docs: DataFrame) -> DataFrame:
     """Normalized-text fingerprint: md5 of whitespace-collapsed lowercase
     text — catches near-exact duplicates that differ only in spacing/case."""

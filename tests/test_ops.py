@@ -298,6 +298,52 @@ def test_token_df_matches_brute_force(spark, docs):
     assert got2 == {t for t, d in df_exp.items() if d >= 10} and got2
 
 
+def _brute_winnow(text, k=3, window=4):
+    import hashlib
+
+    toks = text.strip().lower().split()
+    if not toks:
+        return set()
+    grams = [
+        " ".join(toks[i : i + k]) for i in range(max(len(toks) - k + 1, 1))
+    ]
+    hs = [
+        int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+    ]
+    return {
+        min(hs[j : j + window]) for j in range(max(len(hs) - window + 1, 1))
+    }
+
+
+def test_winnow_fingerprints_matches_brute_force(spark, docs):
+    from openue_spark.ops.text import winnow_fingerprints
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    got = {}
+    for r in winnow_fingerprints(docs).collect():
+        got.setdefault(r.doc_id, set()).add(r.fp)
+    assert got == {d: _brute_winnow(t) for d, t in texts.items()}
+
+
+def test_winnow_fingerprints_shared_run_guarantee(spark):
+    """Two documents sharing a run of window+k-1 tokens share >= 1
+    fingerprint; unrelated docs (disjoint vocab) share none."""
+    from openue_spark.ops.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = window+k-1 tokens
+    rows = [
+        (0, f"one two three {shared} four five"),
+        (1, f"{shared} six seven eight nine ten"),
+        (2, "p q r s t u v w x y z aa bb cc"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = {}
+    for r in winnow_fingerprints(df).collect():
+        fps.setdefault(r.doc_id, set()).add(r.fp)
+    assert fps[0] & fps[1]
+    assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
+
+
 def test_lang_id_ngram_discriminates_and_handles_edges(spark):
     from openue_spark.ops.text import TRIGRAMS_EN, TRIGRAMS_ES, lang_id_ngram
 
