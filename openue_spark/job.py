@@ -277,6 +277,8 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             wall_ms=int((time.time() - t1) * 1000),
             row_count=stats["n_changed"], triple_count=stats["n_graph"],
         )
+        if args.graph_stats:
+            _graph_stats_phase(spark, args.out, run_id)
         if owns_session:
             spark.stop()
         return 0
@@ -322,53 +324,63 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         row_count=n_graph, triple_count=n_graph,
     )
     if args.graph_stats:
-        from pyspark.sql import functions as F
-
-        from openue_spark.ops.graph import pagerank_int, triangle_stats
-
-        t3 = time.time()
-        with job_phase(spark, "graph-stats"):
-            edges = spark.read.parquet(f"{args.out}/graph").select(
-                F.col("subj").alias("src"), F.col("obj").alias("dst")
-            )
-            triangle_stats(edges).write.mode("overwrite").parquet(
-                f"{args.out}/graph_stats"
-            )
-            srow = spark.read.parquet(f"{args.out}/graph_stats").collect()[0]
-        print(
-            f"[job] graph stats: {srow.n_nodes} entities, {srow.n_edges} "
-            f"undirected edges, {srow.n_triangles} triangles "
-            f"({srow.n_wedges} oriented wedges probed; "
-            f"{time.time() - t3:.1f}s)"
-        )
-        log_stage_metric(
-            spark, args.out, run_id, "graph-stats",
-            wall_ms=int((time.time() - t3) * 1000),
-            row_count=srow.n_triangles, triple_count=srow.n_edges,
-        )
-        t4 = time.time()
-        with job_phase(spark, "graph-hubs"):
-            # hub entities: 3-round deterministic integer PageRank, scale
-            # auto-sized from srow.n_nodes so no graph size can overflow;
-            # (rank desc, node) makes the top-100 cut reproducible
-            hubs = (
-                pagerank_int(edges, iterations=3, scale=None,
-                             node_count=srow.n_nodes)
-                .orderBy(F.col("rank").desc(), F.col("node"))
-                .limit(100)
-            )
-            hubs.write.mode("overwrite").parquet(f"{args.out}/graph_hubs")
-            n_hubs = spark.read.parquet(f"{args.out}/graph_hubs").count()
-        print(f"[job] graph hubs: top {n_hubs} entities by 3-round integer"
-              f" PageRank ({time.time() - t4:.1f}s)")
-        log_stage_metric(
-            spark, args.out, run_id, "graph-hubs",
-            wall_ms=int((time.time() - t4) * 1000),
-            row_count=n_hubs, triple_count=srow.n_nodes,
-        )
+        _graph_stats_phase(spark, args.out, run_id)
     if owns_session:
         spark.stop()
     return 0
+
+
+def _graph_stats_phase(spark, out: str, run_id: str) -> None:
+    """The --graph-stats phase: triangle/wedge census to graph_stats/ and
+    the top-100 PageRank hub report to graph_hubs/, both over the CURRENT
+    materialized graph (runs after a full build AND after an incremental
+    fold — the folded graph is the one whose stats a consumer wants)."""
+    from pyspark.sql import functions as F
+
+    from openue_spark.ops.graph import pagerank_int, triangle_stats
+    from openue_spark.pipeline.materialize import log_stage_metric
+    from openue_spark.session import job_phase
+
+    t3 = time.time()
+    with job_phase(spark, "graph-stats"):
+        edges = spark.read.parquet(f"{out}/graph").select(
+            F.col("subj").alias("src"), F.col("obj").alias("dst")
+        )
+        triangle_stats(edges).write.mode("overwrite").parquet(
+            f"{out}/graph_stats"
+        )
+        srow = spark.read.parquet(f"{out}/graph_stats").collect()[0]
+    print(
+        f"[job] graph stats: {srow.n_nodes} entities, {srow.n_edges} "
+        f"undirected edges, {srow.n_triangles} triangles "
+        f"({srow.n_wedges} oriented wedges probed; "
+        f"{time.time() - t3:.1f}s)"
+    )
+    log_stage_metric(
+        spark, out, run_id, "graph-stats",
+        wall_ms=int((time.time() - t3) * 1000),
+        row_count=srow.n_triangles, triple_count=srow.n_edges,
+    )
+    t4 = time.time()
+    with job_phase(spark, "graph-hubs"):
+        # hub entities: 3-round deterministic integer PageRank, scale
+        # auto-sized from srow.n_nodes so no graph size can overflow;
+        # (rank desc, node) makes the top-100 cut reproducible
+        hubs = (
+            pagerank_int(edges, iterations=3, scale=None,
+                         node_count=srow.n_nodes)
+            .orderBy(F.col("rank").desc(), F.col("node"))
+            .limit(100)
+        )
+        hubs.write.mode("overwrite").parquet(f"{out}/graph_hubs")
+        n_hubs = spark.read.parquet(f"{out}/graph_hubs").count()
+    print(f"[job] graph hubs: top {n_hubs} entities by 3-round integer"
+          f" PageRank ({time.time() - t4:.1f}s)")
+    log_stage_metric(
+        spark, out, run_id, "graph-hubs",
+        wall_ms=int((time.time() - t4) * 1000),
+        row_count=n_hubs, triple_count=srow.n_nodes,
+    )
 
 
 if __name__ == "__main__":

@@ -104,6 +104,34 @@ def test_job_incremental_fold_equals_full_run(spark, tmp_path):
     assert m_inc == m_full
 
 
+def test_job_increment_refreshes_graph_stats(spark, tmp_path):
+    """--graph-stats on an --increment run recomputes the census + hub
+    report over the FOLDED graph (the early-return path used to skip it)."""
+    from openue_spark.job import main
+    from openue_spark.ops.graph import triangle_stats
+
+    out = str(tmp_path / "kg_inc_gs")
+    base = ["--shards", "2", "--max-bucket", "none", "--graph-stats"]
+    assert main(["--synthesize", "2500", "--out", out] + base, spark=spark) == 0
+    before = spark.read.parquet(f"{out}/graph_stats").collect()[0]
+    assert (
+        main(["--synthesize", "1500", "--synthesize-offset", "2500",
+              "--increment", "--out", out] + base, spark=spark)
+        == 0
+    )
+    after = spark.read.parquet(f"{out}/graph_stats").collect()[0]
+    edges = spark.read.parquet(f"{out}/graph").select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    )
+    assert after.asDict() == triangle_stats(edges).collect()[0].asDict()
+    assert after.n_edges > before.n_edges  # the fold grew the graph
+    assert spark.read.parquet(f"{out}/graph_hubs").count() > 0
+    m = spark.read.parquet(f"{out}/manifest").where(
+        F.col("stage") == "graph-hubs"
+    ).count()
+    assert m == 2  # one per run
+
+
 def test_job_increment_requires_prior_linked_run(spark, tmp_path):
     import pytest
 
