@@ -44,19 +44,21 @@ spark = get_spark(
 spark.sparkContext.setLogLevel("ERROR")
 out = tempfile.mkdtemp(prefix="profile_job_")
 t0 = time.time()
-rc = job_main(["--input", {path!r}, "--out", out, "--shards", "8"], spark=spark)
+rc = job_main(["--input", {path!r}, "--out", out, "--shards", "8"]{extra}, spark=spark)
 print(f"TOTAL {{time.time() - t0:.1f}}s rc={{rc}}", flush=True)
 shutil.rmtree(out, ignore_errors=True)
 spark.stop()
 """
 
 
-def run(turns: int, cores: int, evdir: str) -> None:
+def run(turns: int, cores: int, evdir: str, graph_stats: bool = False) -> None:
     from scripts.scaling import ensure_input
 
     path = ensure_input(turns)
     os.makedirs(evdir, exist_ok=True)
-    src = _SRC.format(repo=REPO, cores=cores, path=path, evdir=evdir)
+    extra = ' + ["--graph-stats"]' if graph_stats else ""
+    src = _SRC.format(repo=REPO, cores=cores, path=path, evdir=evdir,
+                      extra=extra)
     cmd = [sys.executable, "-c", src]
     if shutil.which("taskset"):
         total = os.cpu_count() or cores
@@ -173,10 +175,14 @@ def main() -> int:
     ap.add_argument("--parse-only", action="store_true",
                     help="re-parse the existing event log without re-running")
     ap.add_argument("--evdir", default="/tmp/spark-events-profile")
+    ap.add_argument("--graph-stats", action="store_true",
+                    help="profile the job WITH the census/hub phase"
+                    " (off by default to keep phase walls comparable"
+                    " with prior profiles)")
     args = ap.parse_args()
     if not args.parse_only:
         shutil.rmtree(args.evdir, ignore_errors=True)
-        run(args.turns, args.cores, args.evdir)
+        run(args.turns, args.cores, args.evdir, graph_stats=args.graph_stats)
     parse(args.evdir, args.cores)
     return 0
 
