@@ -330,6 +330,17 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(_planted(spark, sf_dir), min_jaccard=0.5)
 
 
+def q_winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-fingerprint near-dup / decontamination pairs
+    (ops/dedup.py): df-capped inverted-index self-join over the MOSS
+    fingerprints, containment = shared / min(|A|, |B|) — catches a short
+    doc embedded in a long one, which Jaccard dilutes. Runs over the same
+    planted corpus as the other dedup rows."""
+    from .ops.dedup import winnow_near_dup_pairs
+
+    return winnow_near_dup_pairs(_planted(spark, sf_dir), min_overlap=0.5)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.dedup import embedding_near_dup_pairs
 
@@ -1664,6 +1675,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # winnowing fingerprints: tail; the head's doc_fingerprint +
         # minhash rows keep the fingerprint/shingle-hash family checked
         "winnow_fingerprints": q_winnow_fingerprints,
+        # winnowing near-dup pairs: tail; the head's minhash/ngram pair
+        # rows keep the df-capped inverted-index self-join family checked
+        # — this row adds the containment (decontamination) variant
+        "winnow_near_dup_pairs": q_winnow_near_dup_pairs,
     }
 
 
@@ -1775,6 +1790,39 @@ _DUCK_NGRAM_JACCARD = (
     "  ON a.shingle = b.shingle AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)"
     " SELECT a_id, b_id, round(shared / cast(na + nb - shared as double), 4) AS jaccard_r"
     " FROM shared WHERE shared / cast(na + nb - shared as double) >= 0.5"
+)
+
+
+# mirrors ops/dedup.winnow_near_dup_pairs(min_overlap=0.5, max_df=1000,
+# k=3, window=4) over the SAME planted corpus: the winnow_fingerprints
+# rolling build (probed bit-identical in that row's oracle) + per-doc set
+# size, df-capped inverted-index self-join, containment
+# shared / min(|A|, |B|) rounded to 4 decimals (integer division of
+# bigints as double — engine-exact).
+_DUCK_WINNOW_PAIRS = (
+    f"WITH {_DUCK_CORPUS},"
+    " wd AS (SELECT doc_id, tokens AS toks FROM corpus WHERE len(tokens) > 0),"
+    " wh AS (SELECT doc_id, list_transform("
+    "   range(1, greatest(len(toks) - 2, 1) + 1),"
+    "   i -> ('0x' || substr(md5(array_to_string("
+    "     list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 2),"
+    "     ' ')), 1, 8))::BIGINT) AS hs FROM wd),"
+    " ww AS (SELECT doc_id, list_distinct(list_transform("
+    "   range(1, greatest(len(hs) - 3, 1) + 1),"
+    "   j -> list_aggregate(list_slice(hs, CAST(j AS INT),"
+    "     CAST(j AS INT) + 3), 'min'))) AS sel FROM wh),"
+    " wf AS (SELECT doc_id, len(sel) AS n_fp, unnest(sel) AS fp FROM ww),"
+    " wcap AS (SELECT doc_id, n_fp, fp FROM ("
+    "  SELECT doc_id, n_fp, fp,"
+    "   count(*) OVER (PARTITION BY fp) AS df FROM wf)"
+    "  WHERE df <= 1000),"
+    " wsh AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,"
+    "  a.n_fp AS na, b.n_fp AS nb, count(*)::BIGINT AS shared"
+    "  FROM wcap a JOIN wcap b"
+    "  ON a.fp = b.fp AND a.doc_id < b.doc_id GROUP BY 1, 2, 3, 4)"
+    " SELECT a_id, b_id, shared,"
+    "  round(shared / cast(least(na, nb) as double), 4) AS overlap_r"
+    " FROM wsh WHERE shared / cast(least(na, nb) as double) >= 0.5"
 )
 
 
@@ -2591,6 +2639,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_keep": _DUCK_MINHASH_KEEP,
         "simhash_near_dup": _DUCK_SIMHASH,
         "ngram_jaccard_pairs": _DUCK_NGRAM_JACCARD,
+        "winnow_near_dup_pairs": _DUCK_WINNOW_PAIRS,
         "embedding_near_dup": (
             "SELECT a.vec_id AS a_id, b.vec_id AS b_id,"
             " round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)"

@@ -296,6 +296,62 @@ def ngram_jaccard_pairs(
     )
 
 
+def winnow_near_dup_pairs(
+    docs: DataFrame,
+    min_overlap: float = 0.5,
+    max_df: int = 1000,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """(a_id, b_id, shared, overlap_r): near-duplicate / contamination pair
+    detection over winnowing (MOSS) fingerprints — the standard
+    train/eval-decontamination shape: two documents sharing any run of
+    window+k-1 tokens are guaranteed >= 1 shared fingerprint, so pairs
+    with high fingerprint CONTAINMENT (shared / min(|A|, |B|)) are
+    near-duplicates or embedded copies even when the documents' lengths
+    differ wildly (Jaccard would dilute a short doc pasted into a long
+    one; containment does not).
+
+    Scale shape — identical to `ngram_jaccard_pairs` but over the ~4x
+    smaller winnowed index: inverted-index self-join on fp with a
+    posting-list df cap (a fingerprint appearing in more than `max_df`
+    documents is dropped BEFORE the join — hot boilerplate would
+    otherwise cost O(df^2) join rows; |A|/|B| stay full set sizes, so
+    capping only underestimates the overlap of boilerplate-only pairs).
+    The df pass is one count over the fp key — same key, same
+    partitioning as the join that follows.
+    """
+    from .text import winnow_fp_arrays
+
+    fpd = _barrier(
+        winnow_fp_arrays(docs, k=k, window=window).select(
+            "doc_id", "fps", F.size("fps").alias("n_fp")
+        )
+    )
+    inv = fpd.select("doc_id", "n_fp", F.explode("fps").alias("fp"))
+    df_w = Window.partitionBy("fp")
+    inv = (
+        inv.withColumn("df", F.count(F.lit(1)).over(df_w))
+        .where(F.col("df") <= max_df)
+        .drop("df")
+    )
+    a = inv.select(F.col("doc_id").alias("a_id"), F.col("n_fp").alias("na"), "fp")
+    b = inv.select(F.col("doc_id").alias("b_id"), F.col("n_fp").alias("nb"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    return (
+        shared.withColumn(
+            "overlap", F.expr("shared / cast(least(na, nb) as double)")
+        )
+        .where(F.col("overlap") >= min_overlap)
+        .select("a_id", "b_id", "shared", F.round("overlap", 4).alias("overlap_r"))
+    )
+
+
 # --- embedding cosine near-dup ---
 
 

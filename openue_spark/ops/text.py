@@ -183,32 +183,34 @@ def token_df(docs: DataFrame, min_df: int = 1) -> DataFrame:
     return out
 
 
-def winnow_fingerprints(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
-    """(doc_id, fp): winnowing document fingerprints (Schleimer/Wilkerson/
-    Aiken's MOSS algorithm — the rolling-hash fingerprint standard): hash
-    every ROLLING word k-gram to a 32-bit int (md5 prefix, the repo's
-    engine-portable int hash), then keep the MINIMUM hash of every
-    `window` consecutive k-gram hashes, dedup'd per document and exploded
-    to rows. Guarantees: any shared run of window+k-1 tokens between two
-    documents yields at least one shared fingerprint, while storage is
-    ~1/window of the k-gram count — the near-dup/plagiarism index trade.
+def winnow_fp_arrays(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
+    """(doc_id, fps): the per-document DISTINCT winnowing fingerprint set
+    as an array column — the shared builder behind `winnow_fingerprints`
+    (exploded index rows) and `ops.dedup.winnow_near_dup_pairs` (which
+    also needs the per-doc set SIZE for the containment denominator).
+
+    Accepts (doc_id, text) — whitespace-tokenized here — or a
+    pre-tokenized (doc_id, tokens) corpus verbatim (the same contract as
+    the ops.dedup family).
 
     Scale shape: three narrow per-row stages (tokenize, hash, window-min)
     with barriers between them — each stage's lambda body references the
     previous stage's computed array, exactly the shape CollapseProject
     would otherwise inline and re-evaluate per element (the measured-14x
-    hazard) — then one explode. Zero shuffles: fingerprints are already
-    distinct within a document, and cross-document duplicates are the
-    SIGNAL (shared fingerprints = candidate near-dups, joinable on fp).
+    hazard). Zero shuffles.
     """
     from .dedup import _barrier
 
-    toked = _barrier(
-        docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+    if "tokens" in docs.columns:
+        pre = docs.where(F.size("tokens") > 0).select(
+            "doc_id", F.col("tokens").alias("_toks")
+        )
+    else:
+        pre = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
             "doc_id",
             F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("_toks"),
         )
-    )
+    toked = _barrier(pre)
     hashed = _barrier(
         toked.select(
             "doc_id",
@@ -222,13 +224,32 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, window: int = 4) -> DataFra
     )
     return hashed.select(
         "doc_id",
-        F.explode(
-            F.expr(
-                f"array_distinct(transform("
-                f" sequence(1, greatest(size(_hs) - {window - 1}, 1)),"
-                f" j -> array_min(slice(_hs, j, {window}))))"
-            )
-        ).alias("fp"),
+        F.expr(
+            f"array_distinct(transform("
+            f" sequence(1, greatest(size(_hs) - {window - 1}, 1)),"
+            f" j -> array_min(slice(_hs, j, {window}))))"
+        ).alias("fps"),
+    )
+
+
+def winnow_fingerprints(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
+    """(doc_id, fp): winnowing document fingerprints (Schleimer/Wilkerson/
+    Aiken's MOSS algorithm — the rolling-hash fingerprint standard): hash
+    every ROLLING word k-gram to a 32-bit int (md5 prefix, the repo's
+    engine-portable int hash), then keep the MINIMUM hash of every
+    `window` consecutive k-gram hashes, dedup'd per document and exploded
+    to rows. Guarantees: any shared run of window+k-1 tokens between two
+    documents yields at least one shared fingerprint, while storage is
+    ~1/window of the k-gram count — the near-dup/plagiarism index trade.
+
+    Build shape: see `winnow_fp_arrays` (barrier-separated narrow stages,
+    zero shuffles) — this is that builder plus one explode. Fingerprints
+    are already distinct within a document, and cross-document duplicates
+    are the SIGNAL (shared fingerprints = candidate near-dups, joinable
+    on fp).
+    """
+    return winnow_fp_arrays(docs, k=k, window=window).select(
+        "doc_id", F.explode("fps").alias("fp")
     )
 
 

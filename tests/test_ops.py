@@ -344,6 +344,66 @@ def test_winnow_fingerprints_shared_run_guarantee(spark):
     assert not (fps[0] & fps[2]) and not (fps[1] & fps[2])
 
 
+def test_winnow_near_dup_pairs_matches_brute_force(spark, docs):
+    from openue_spark.ops.dedup import winnow_near_dup_pairs
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    fps = {d: _brute_winnow(t) for d, t in texts.items() if t.strip()}
+    ids = sorted(fps)
+    exp = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sh = len(fps[a] & fps[b])
+            if sh:
+                ov = sh / min(len(fps[a]), len(fps[b]))
+                if ov >= 0.3:
+                    exp[(a, b)] = (sh, ov)
+    got = {
+        (r.a_id, r.b_id): (r.shared, r.overlap_r)
+        for r in winnow_near_dup_pairs(docs, min_overlap=0.3).collect()
+    }
+    assert set(got) == set(exp)
+    for pair, (sh, ov) in exp.items():
+        assert got[pair][0] == sh
+        assert abs(got[pair][1] - ov) < 5e-5
+
+
+def test_winnow_near_dup_pairs_finds_embedded_copy(spark):
+    """Containment catches a short doc pasted out of a long one (the
+    decontamination case) where Jaccard would dilute to ~len(B)/len(A)."""
+    from openue_spark.ops.dedup import winnow_near_dup_pairs
+
+    rng = np.random.RandomState(3)
+    vocab = [f"v{i}" for i in range(200)]
+    long_toks = list(rng.choice(vocab, size=120))
+    rows = [
+        (0, " ".join(long_toks)),
+        (1, " ".join(long_toks[40:60])),  # verbatim 20-token excerpt
+        (2, " ".join(f"z{i}" for i in range(30))),  # disjoint vocab
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.a_id, r.b_id): r for r in winnow_near_dup_pairs(df, 0.5).collect()}
+    assert (0, 1) in got and got[(0, 1)].overlap_r == 1.0
+    assert all(2 not in pair for pair in got)
+
+
+def test_winnow_near_dup_pairs_df_cap(spark, docs):
+    """max_df=1 empties the inverted index (any shared fp has df >= 2), so
+    no pairs survive; the default cap reports the planted duplicates."""
+    from openue_spark.fixtures import planted_docs
+    from openue_spark.ops.dedup import winnow_near_dup_pairs
+
+    corpus = planted_docs(docs)
+    assert winnow_near_dup_pairs(corpus, 0.5, max_df=1).count() == 0
+    pairs = {
+        (r.a_id, r.b_id) for r in winnow_near_dup_pairs(corpus, 0.5).collect()
+    }
+    planted = {(i, i + 1_000_000) for i in range(0, 60, 5)}
+    # an 80%-truncated copy shares every fingerprint drawn from the kept
+    # prefix: containment vs the SHORTER (plant) side is ~1.0
+    assert planted <= pairs
+
+
 def test_lang_id_ngram_discriminates_and_handles_edges(spark):
     from openue_spark.ops.text import TRIGRAMS_EN, TRIGRAMS_ES, lang_id_ngram
 
