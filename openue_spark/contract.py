@@ -432,6 +432,72 @@ def q_chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_token_windows(_t(spark, sf_dir, "documents"))
 
 
+# --- ranked retrieval: BM25 top-k (ops.search) ---
+
+# Literal query set over the documents fixture vocabulary; shared verbatim
+# with the DuckDB oracle's VALUES clause. "batch batch" exercises
+# query-term-frequency weighting.
+_BM25_QUERIES = [
+    ("q1", "fast table scan"),
+    ("q2", "window join batch batch"),
+    ("q3", "customer order line value"),
+    ("q4", "hash merge spark"),
+]
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rational-idf BM25 top-10 per query over the documents corpus
+    (ops/search.py): lexical retrieval / decontamination search. Scores
+    are integer micro-units summed as bigints (order-independent), ties
+    break on doc_id — the row is engine-hash-exact by construction."""
+    from .ops.search import bm25_topk
+
+    qdf = spark.createDataFrame(
+        _BM25_QUERIES, "query_id string, query_text string"
+    )
+    return bm25_topk(_t(spark, sf_dir, "documents"), qdf, k=10)
+
+
+def _duck_bm25() -> str:
+    """DuckDB mirror of ops/search.bm25_topk(k=10, max_df=10000): the
+    per-term micro-score expression is the SAME string both engines parse
+    (ops.search.bm25_micro_expr), so scores are bit-identical; sums are
+    BIGINT (::BIGINT guards DuckDB's HUGEINT sum)."""
+    from .ops.search import bm25_micro_expr
+
+    vals = ", ".join(f"('{qid}', '{qt}')" for qid, qt in _BM25_QUERIES)
+    return (
+        "WITH tok AS (SELECT doc_id,"
+        "  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks"
+        "  FROM documents),"
+        " dld AS (SELECT doc_id, len(toks)::BIGINT AS dl, toks FROM tok),"
+        " stats AS (SELECT count(*)::BIGINT AS n_docs,"
+        "  sum(dl)::BIGINT AS sum_dl FROM dld),"
+        " tfq AS (SELECT doc_id, dl, token, count(*)::BIGINT AS tf FROM"
+        "  (SELECT doc_id, dl, unnest(toks) AS token FROM dld)"
+        "  GROUP BY 1, 2, 3),"
+        " dfq AS (SELECT token, count(*)::BIGINT AS df FROM tfq GROUP BY 1"
+        "  HAVING count(*) <= 10000),"
+        f" q(query_id, query_text) AS (VALUES {vals}),"
+        " qt AS (SELECT query_id, token, count(*)::BIGINT AS qtf FROM"
+        "  (SELECT query_id, unnest(regexp_split_to_array("
+        "    trim(lower(query_text)), '\\s+')) AS token FROM q)"
+        "  GROUP BY 1, 2),"
+        " scored AS (SELECT qt.query_id, tfq.doc_id,"
+        f"  {bm25_micro_expr()} AS micro"
+        "  FROM qt JOIN dfq USING (token) JOIN tfq USING (token)"
+        "  CROSS JOIN stats),"
+        " agg AS (SELECT query_id, doc_id, sum(micro)::BIGINT AS score_micro"
+        "  FROM scored GROUP BY 1, 2),"
+        " ranked AS (SELECT query_id, doc_id, score_micro,"
+        "  row_number() OVER (PARTITION BY query_id"
+        "   ORDER BY score_micro DESC, doc_id ASC)::BIGINT AS rank"
+        "  FROM agg)"
+        " SELECT query_id, doc_id, score_micro, rank FROM ranked"
+        " WHERE rank <= 10"
+    )
+
+
 # --- similarity: IVF approximate top-k (scale path; rows-only) ---
 
 
@@ -1679,6 +1745,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows keep the df-capped inverted-index self-join family checked
         # — this row adds the containment (decontamination) variant
         "winnow_near_dup_pairs": q_winnow_near_dup_pairs,
+        # BM25 ranked retrieval: tail; integer micro-unit scores keep the
+        # row hash-exact (rational idf — module docstring explains why ln
+        # is not hashable cross-engine)
+        "bm25_topk": q_bm25_topk,
     }
 
 
@@ -2640,6 +2710,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_dup": _DUCK_SIMHASH,
         "ngram_jaccard_pairs": _DUCK_NGRAM_JACCARD,
         "winnow_near_dup_pairs": _DUCK_WINNOW_PAIRS,
+        "bm25_topk": _duck_bm25(),
         "embedding_near_dup": (
             "SELECT a.vec_id AS a_id, b.vec_id AS b_id,"
             " round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)"

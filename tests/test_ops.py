@@ -404,6 +404,76 @@ def test_winnow_near_dup_pairs_df_cap(spark, docs):
     assert planted <= pairs
 
 
+def _brute_bm25(texts, queries, k=10, k1=1.2, b=0.75, max_df=10000):
+    """Python reference for ops.search.bm25_topk — SAME expression shape
+    (association order matters: floor() of a float product must see
+    bit-identical doubles)."""
+    import math
+    from collections import Counter
+
+    toks = {d: t.strip().lower().split() for d, t in texts.items()}
+    n_docs = len(toks)
+    avgdl = sum(len(v) for v in toks.values()) / n_docs
+    tfs = {d: Counter(v) for d, v in toks.items()}
+    df = Counter()
+    for c in tfs.values():
+        for t in c:
+            df[t] += 1
+    out = {}
+    for qid, qtext in queries:
+        qc = Counter(qtext.strip().lower().split())
+        scores = {}
+        for t, qtf in qc.items():
+            if t not in df or df[t] > max_df:
+                continue
+            idf = ((n_docs - df[t]) + 0.5) / (df[t] + 0.5)
+            for d, c in tfs.items():
+                if t in c:
+                    tf, dl = c[t], len(toks[d])
+                    s = (
+                        idf
+                        * ((tf * (k1 + 1.0)) / (tf + k1 * ((1.0 - b) + b * (dl / avgdl))))
+                        * qtf
+                        * 1000000.0
+                    )
+                    scores[d] = scores.get(d, 0) + math.floor(s)
+        ranked = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:k]
+        out[qid] = [(d, s, i + 1) for i, (d, s) in enumerate(ranked)]
+    return out
+
+
+def test_bm25_topk_matches_brute_force(spark, docs):
+    from openue_spark.ops.search import bm25_topk
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    queries = [("a", "w1 w2 w3"), ("b", "w5 w5 w7"), ("c", "w39 w0")]
+    qdf = spark.createDataFrame(queries, "query_id string, query_text string")
+    got = {}
+    for r in bm25_topk(docs, qdf, k=10).collect():
+        got.setdefault(r.query_id, []).append((r.doc_id, r.score_micro, r.rank))
+    for qid in got:
+        got[qid].sort(key=lambda x: x[2])
+    assert got == _brute_bm25(texts, queries, k=10)
+
+
+def test_bm25_topk_df_cap_and_k_bound(spark, docs):
+    """A term present in more than max_df documents is dropped from the
+    index; ranks are a clean 1..n prefix bounded by k."""
+    from openue_spark.ops.search import bm25_topk
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    # w0 appears in most of the 60 word-soup docs; cap it out
+    n_docs_with_w0 = sum(1 for t in texts.values() if "w0" in t.split())
+    assert n_docs_with_w0 > 5
+    queries = [("q", "w0")]
+    qdf = spark.createDataFrame(queries, "query_id string, query_text string")
+    assert bm25_topk(docs, qdf, k=10, max_df=5).count() == 0
+    rows = bm25_topk(docs, qdf, k=7).collect()
+    assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == list(
+        range(1, min(7, n_docs_with_w0) + 1)
+    )
+
+
 def test_lang_id_ngram_discriminates_and_handles_edges(spark):
     from openue_spark.ops.text import TRIGRAMS_EN, TRIGRAMS_ES, lang_id_ngram
 
