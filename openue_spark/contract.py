@@ -341,6 +341,21 @@ def q_winnow_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_near_dup_pairs(_planted(spark, sf_dir), min_overlap=0.5)
 
 
+def q_winnow_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination flags (ops/dedup.py): every documents row
+    flagged contaminated iff its winnowing fingerprints cover >= 50% of
+    some eval item's fingerprint set. The eval set is the contaminated-
+    by-construction fixture (60% prefixes of every doc_id % 7 == 0 doc),
+    so true positives exist at every scale factor."""
+    from .fixtures import contaminated_eval_docs
+    from .ops.dedup import winnow_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    return winnow_decontaminate(
+        docs, contaminated_eval_docs(docs), min_overlap=0.5
+    )
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.dedup import embedding_near_dup_pairs
 
@@ -1749,6 +1764,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # row hash-exact (rational idf — module docstring explains why ln
         # is not hashable cross-engine)
         "bm25_topk": q_bm25_topk,
+        # eval-set decontamination flags: tail; the cross-corpus
+        # (asymmetric) variant of the head-checked dedup joins
+        "winnow_decontaminate": q_winnow_decontaminate,
     }
 
 
@@ -1893,6 +1911,59 @@ _DUCK_WINNOW_PAIRS = (
     " SELECT a_id, b_id, shared,"
     "  round(shared / cast(least(na, nb) as double), 4) AS overlap_r"
     " FROM wsh WHERE shared / cast(least(na, nb) as double) >= 0.5"
+)
+
+
+def _duck_winnow_sel(src: str, out: str) -> str:
+    """Emit the winnowing h/w CTE pair (same rolling build as
+    _DUCK_WINNOW_PAIRS) over `src`(doc_id, toks), yielding `out`(doc_id,
+    sel) where sel is the distinct fingerprint list."""
+    return (
+        f" {out}_h AS (SELECT doc_id, list_transform("
+        "   range(1, greatest(len(toks) - 2, 1) + 1),"
+        "   i -> ('0x' || substr(md5(array_to_string("
+        "     list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 2),"
+        "     ' ')), 1, 8))::BIGINT) AS hs"
+        f" FROM {src}),"
+        f" {out} AS (SELECT doc_id, list_distinct(list_transform("
+        "   range(1, greatest(len(hs) - 3, 1) + 1),"
+        "   j -> list_aggregate(list_slice(hs, CAST(j AS INT),"
+        "     CAST(j AS INT) + 3), 'min'))) AS sel"
+        f" FROM {out}_h)"
+    )
+
+
+# mirrors ops/dedup.winnow_decontaminate(min_overlap=0.5, max_df=1000)
+# with the contaminated_eval_docs fixture (60% token prefixes of every
+# doc_id % 7 == 0 document): train-side df cap, containment against the
+# EVAL fingerprint set, flag rolled up per training doc.
+_DUCK_WINNOW_DECON = (
+    "WITH dbase AS (SELECT doc_id,"
+    "  regexp_split_to_array(trim(lower(text)), '\\s+') AS tokens"
+    "  FROM documents),"
+    " tdoc AS (SELECT doc_id,"
+    "  regexp_split_to_array(trim(lower(text)), '\\s+') AS toks"
+    "  FROM documents WHERE length(trim(text)) > 0),"
+    " edoc AS (SELECT doc_id + 2000000 AS doc_id,"
+    "  tokens[1:greatest(1, cast(floor(len(tokens) * 0.6) as int))] AS toks"
+    "  FROM dbase WHERE doc_id % 7 = 0),"
+    + _duck_winnow_sel("tdoc", "tww")
+    + ","
+    + _duck_winnow_sel("edoc", "eww")
+    + ","
+    " tfp AS (SELECT doc_id, unnest(sel) AS fp FROM tww),"
+    " tcap AS (SELECT doc_id, fp FROM ("
+    "  SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS df FROM tfp)"
+    "  WHERE df <= 1000),"
+    " efp AS (SELECT doc_id AS eval_id, len(sel) AS n_eval_fp,"
+    "  unnest(sel) AS fp FROM eww),"
+    " hits AS (SELECT DISTINCT doc_id FROM ("
+    "  SELECT t.doc_id FROM tcap t JOIN efp e USING (fp)"
+    "  GROUP BY t.doc_id, e.eval_id, e.n_eval_fp"
+    "  HAVING count(*) / cast(e.n_eval_fp as double) >= 0.5))"
+    " SELECT b.doc_id, coalesce(h.hit, false) AS contaminated"
+    " FROM (SELECT DISTINCT doc_id FROM documents) b"
+    " LEFT JOIN (SELECT doc_id, true AS hit FROM hits) h USING (doc_id)"
 )
 
 
@@ -2711,6 +2782,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _DUCK_NGRAM_JACCARD,
         "winnow_near_dup_pairs": _DUCK_WINNOW_PAIRS,
         "bm25_topk": _duck_bm25(),
+        "winnow_decontaminate": _DUCK_WINNOW_DECON,
         "embedding_near_dup": (
             "SELECT a.vec_id AS a_id, b.vec_id AS b_id,"
             " round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)"

@@ -136,3 +136,25 @@ def planted_docs(docs):
         ).alias("tokens"),
     )
     return base.unionByName(plants)
+
+
+def contaminated_eval_docs(docs):
+    """Eval-set TEST FIXTURE (not an operator): the first 60% of tokens of
+    every doc_id % 7 == 0 document, re-keyed +2_000_000 — an eval set that
+    is contaminated by construction (each item is embedded verbatim in its
+    source training document). ops.dedup.winnow_decontaminate takes train
+    and eval corpora verbatim; contract queries and tests wrap the
+    documents table with this so true contamination exists at every scale
+    factor. Returns (doc_id, tokens).
+    """
+    from pyspark.sql import functions as F
+
+    from .ops.dedup import with_tokens
+
+    base = with_tokens(docs.select("doc_id", "text")).select("doc_id", "tokens")
+    return base.where(F.col("doc_id") % 7 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.expr(
+            "slice(tokens, 1, greatest(1, cast(floor(size(tokens) * 0.6) as int)))"
+        ).alias("tokens"),
+    )

@@ -352,6 +352,69 @@ def winnow_near_dup_pairs(
     )
 
 
+def winnow_decontaminate(
+    train: DataFrame,
+    eval_docs: DataFrame,
+    min_overlap: float = 0.5,
+    max_df: int = 1000,
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """(doc_id, contaminated): eval-set decontamination — flag every
+    TRAINING document whose winnowing fingerprints cover >= `min_overlap`
+    of some EVAL document's fingerprint set (containment against the
+    EVAL side: a training doc that embeds a whole eval item is
+    contaminated no matter how much other text surrounds it). Filter
+    `WHERE NOT contaminated` to get the clean training corpus; the flag
+    is returned rather than applied so the drop decision stays auditable.
+
+    Scale shape: the eval index is small by construction (an eval set),
+    so the fp join broadcasts under AQE from runtime sizes — no hint (the
+    repo rule: never hint a side that can grow). The train side streams
+    through: fingerprint (narrow, barriered) -> join -> one groupBy
+    (train_doc, eval_doc) -> max per train doc. The df cap guards
+    boilerplate fingerprints on the TRAIN side exactly as in
+    `winnow_near_dup_pairs`.
+    """
+    from .text import winnow_fp_arrays
+
+    # train side: fp is a JOIN KEY (evaluated at the exchange — safe, no
+    # barrier needed); the df-cap window shuffles on fp right after
+    t = winnow_fp_arrays(train, k=k, window=window).select(
+        "doc_id", F.explode("fps").alias("fp")
+    )
+    df_w = Window.partitionBy("fp")
+    t = (
+        t.withColumn("df", F.count(F.lit(1)).over(df_w))
+        .where(F.col("df") <= max_df)
+        .drop("df")
+    )
+    # eval side: n_eval_fp is a computed PAYLOAD crossing a join — barrier
+    # the arrays before explode (the CollapseProject re-eval hazard)
+    e = _barrier(
+        winnow_fp_arrays(eval_docs, k=k, window=window).select(
+            F.col("doc_id").alias("eval_id"), F.size("fps").alias("n_eval_fp"), "fps"
+        )
+    ).select("eval_id", "n_eval_fp", F.explode("fps").alias("fp"))
+    hits = (
+        t.join(e, "fp")
+        .groupBy("doc_id", "eval_id", "n_eval_fp")
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .where(F.expr(f"shared / cast(n_eval_fp as double) >= {min_overlap!r}"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(True))
+    )
+    return (
+        train.select("doc_id")
+        .distinct()
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id", F.coalesce(F.col("hit"), F.lit(False)).alias("contaminated")
+        )
+    )
+
+
 # --- embedding cosine near-dup ---
 
 

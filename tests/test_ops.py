@@ -404,6 +404,57 @@ def test_winnow_near_dup_pairs_df_cap(spark, docs):
     assert planted <= pairs
 
 
+def test_winnow_decontaminate_flags_embedded_eval(spark):
+    """A training doc embedding an eval item verbatim is flagged; clean
+    docs and clean eval items flag nothing."""
+    from openue_spark.ops.dedup import winnow_decontaminate
+
+    rng = np.random.RandomState(5)
+    vocab = [f"v{i}" for i in range(300)]
+    t0 = list(rng.choice(vocab, size=100))
+    t1 = list(rng.choice(vocab, size=80))
+    train = spark.createDataFrame(
+        [(0, " ".join(t0)), (1, " ".join(t1)), (2, " ".join(f"z{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    eval_docs = spark.createDataFrame(
+        [(100, " ".join(t0[30:55])), (101, " ".join(f"q{i}" for i in range(25)))],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.contaminated for r in winnow_decontaminate(train, eval_docs).collect()}
+    assert got == {0: True, 1: False, 2: False}
+
+
+def test_winnow_decontaminate_matches_brute_force(spark, docs):
+    from openue_spark.fixtures import contaminated_eval_docs
+    from openue_spark.ops.dedup import winnow_decontaminate
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    train_fps = {d: _brute_winnow(t) for d, t in texts.items() if t.strip()}
+    eval_fps = {}
+    for d, t in texts.items():
+        if d % 7 == 0:
+            toks = t.strip().lower().split()
+            cut = max(1, int(np.floor(len(toks) * 0.6)))
+            eval_fps[d + 2_000_000] = _brute_winnow(" ".join(toks[:cut]))
+    exp = {
+        d: any(
+            len(fps & efps) / len(efps) >= 0.5 for efps in eval_fps.values()
+        )
+        for d, fps in train_fps.items()
+    }
+    for d in texts:
+        exp.setdefault(d, False)
+    got = {
+        r.doc_id: r.contaminated
+        for r in winnow_decontaminate(
+            docs, contaminated_eval_docs(docs), min_overlap=0.5
+        ).collect()
+    }
+    assert got == exp
+    assert any(exp.values())  # the fixture really plants contamination
+
+
 def _brute_bm25(texts, queries, k=10, k1=1.2, b=0.75, max_df=10000):
     """Python reference for ops.search.bm25_topk — SAME expression shape
     (association order matters: floor() of a float product must see
