@@ -447,6 +447,47 @@ def q_chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_token_windows(_t(spark, sf_dir, "documents"))
 
 
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition stats (ops/text.py): the Gopher /
+    MassiveText repetition filters over whitespace tokens — duplicate-
+    token fraction, most-frequent-bigram coverage, duplicated-bigram
+    coverage. Pure per-row column algebra; the small-vocab fixture makes
+    every fraction non-trivial."""
+    from .ops.text import repetition_stats
+
+    return repetition_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction (ops/pii.py) over the PII-planted
+    fixture (deterministic email/phone/IPv4 suffixes on doc_id residue
+    classes, so true positives exist at every scale factor). Counts are
+    measured on the original text; `redacted` carries the scrubbed text
+    — both value-hashed against the DuckDB oracle, which states the same
+    RE2/Java-common patterns and printf-built suffixes verbatim."""
+    from .fixtures import pii_planted_docs
+    from .ops.pii import pii_scrub
+
+    return pii_scrub(pii_planted_docs(_t(spark, sf_dir, "documents")))
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style contiguous sequence packing (ops/text.py): whole
+    documents concatenated in stable doc_id order within md5 hash shards,
+    cut every 256 tokens; each doc gets (shard, pack_idx, pack_offset,
+    straddles). One shuffle + per-shard window; assignment is a pure
+    function of (key, token counts) so the DuckDB oracle replays the
+    same window sum over the same md5 shard."""
+    from .ops.text import pack_sequences, with_token_counts
+
+    counts = with_token_counts(_t(spark, sf_dir, "documents")).select(
+        "doc_id", "ws_tokens"
+    )
+    return pack_sequences(
+        counts, ["doc_id"], n_tokens_col="ws_tokens", context_len=256, n_shards=8
+    )
+
+
 # --- ranked retrieval: BM25 top-k (ops.search) ---
 
 # Literal query set over the documents fixture vocabulary; shared verbatim
@@ -1689,8 +1730,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # text analysis + ANN baseline
         "dedup_exact": q_dedup_exact,
         "text_token_count": q_text_token_count,
-        "text_lang_id": q_text_lang_id,
+        "text_repetition": q_text_repetition,
         "text_quality": q_text_quality,
+        "pii_scrub": q_pii_scrub,
         "ann_cosine_topk": q_ann_cosine_topk,
         # entity linking + KG ops
         "link_blocking_pairs": q_link_blocking_pairs,
@@ -1698,7 +1740,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "link_increment_components": q_link_increment_components,
         "link_pairwise_prf": q_link_pairwise_prf,
         "kg_negative_samples": q_kg_negative_samples,
-        "kg_degree_stats": q_kg_degree_stats,
         # graph analytics over the constructed KG (round 4)
         "kg_two_hop_reach": q_kg_two_hop_reach,
         "kg_cooccurrence_triangles": q_kg_cooccurrence_triangles,
@@ -1767,6 +1808,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # eval-set decontamination flags: tail; the cross-corpus
         # (asymmetric) variant of the head-checked dedup joins
         "winnow_decontaminate": q_winnow_decontaminate,
+        # moved tail-ward in r4g to make head room for text_repetition +
+        # pii_scrub (unique training-data coverage): text_lang_id's
+        # stopword-set column algebra stays head-checked verbatim inside
+        # text_quality's stopword_ratio, and kg_degree_stats is a plain
+        # groupBy-count whose family (a1/a2, dedup_exact) is the most
+        # head-checked shape in the registry
+        "text_lang_id": q_text_lang_id,
+        "kg_degree_stats": q_kg_degree_stats,
+        # sequence packing: tail; its window-cumsum-over-stable-order
+        # core is head-checked by w2_stable_ordering, and its md5 shard
+        # hash by doc_fingerprint / the head dedup rows
+        "pack_sequences": q_pack_sequences,
     }
 
 
@@ -1964,6 +2017,93 @@ _DUCK_WINNOW_DECON = (
     " SELECT b.doc_id, coalesce(h.hit, false) AS contaminated"
     " FROM (SELECT DISTINCT doc_id FROM documents) b"
     " LEFT JOIN (SELECT doc_id, true AS hit FROM hits) h USING (doc_id)"
+)
+
+
+# mirrors ops/text.repetition_stats(n=2): token/bigram build, per-distinct-
+# gram occurrence counts, the three fractions rounded to 4 decimals. Both
+# engines divide the same integers by the same double, then round HALF_UP.
+_DUCK_REPETITION = (
+    "WITH t AS (SELECT doc_id,"
+    "  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])"
+    "       ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS toks"
+    "  FROM documents),"
+    " g AS (SELECT doc_id, len(toks) AS nt, len(list_distinct(toks)) AS ndt,"
+    "  CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])"
+    "       ELSE list_transform(range(1, len(toks)),"
+    "         i -> array_to_string(list_slice(toks, CAST(i AS INT),"
+    "                CAST(i AS INT) + 1), ' ')) END AS ng"
+    "  FROM t),"
+    " c AS (SELECT doc_id, nt, ndt, len(ng) AS nn,"
+    "  list_transform(list_distinct(ng),"
+    "    g2 -> len(list_filter(ng, x -> x = g2))) AS cnts"
+    "  FROM g)"
+    " SELECT doc_id, nt::BIGINT AS n_tokens,"
+    "  round(CASE WHEN nt = 0 THEN 0.0"
+    "    ELSE (nt - ndt) / CAST(nt AS DOUBLE) END, 4) AS dup_token_frac,"
+    "  round(CASE WHEN nn = 0 THEN 0.0"
+    "    ELSE list_max(cnts) / CAST(nn AS DOUBLE) END, 4) AS top_ngram_frac,"
+    "  round(CASE WHEN nn = 0 THEN 0.0"
+    "    ELSE list_sum(list_transform(cnts,"
+    "           c2 -> CASE WHEN c2 > 1 THEN c2 ELSE 0 END))"
+    "         / CAST(nn AS DOUBLE) END, 4) AS dup_ngram_frac"
+    " FROM c"
+)
+
+
+def _duck_pii() -> str:
+    """Mirror of fixtures.pii_planted_docs + ops/pii.pii_scrub: the same
+    printf-built suffixes, the same pattern strings (single-sourced from
+    PII_PATTERNS — written in the Java-regex/RE2 common subset), counts
+    on the planted text, then chained regexp_replace with the 'g' flag
+    (DuckDB replaces only the first match without it; Spark replaces
+    all)."""
+    from .ops.pii import PII_PATTERNS
+
+    counts = ", ".join(
+        f"len(regexp_extract_all(text, '{pat}'))::BIGINT AS n_{name}s"
+        for name, pat, _ in PII_PATTERNS
+    )
+    red = "text"
+    for _, pat, tok in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tok}', 'g')"
+    return (
+        "WITH planted AS (SELECT doc_id, text"
+        " || CASE WHEN doc_id % 5 = 0 THEN"
+        "      printf(' reach me at user%d@example.com ok', doc_id)"
+        "    ELSE '' END"
+        " || CASE WHEN doc_id % 7 = 1 THEN"
+        "      printf(' call 555-2%02d-4%03d soon', doc_id % 100, doc_id % 1000)"
+        "    ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 2 THEN"
+        "      printf(' from 10.%d.%d.25 logged', doc_id % 256, (doc_id * 7) % 256)"
+        "    ELSE '' END AS text"
+        " FROM documents)"
+        f" SELECT doc_id, {counts}, {red} AS redacted FROM planted"
+    )
+
+
+# mirrors ops/text.pack_sequences(context_len=256, n_shards=8) over the
+# whitespace token counts: same md5-prefix shard, same ROWS-framed window
+# sum (sum(BIGINT) OVER is HUGEINT in DuckDB — every derived column casts
+# back to BIGINT).
+_DUCK_PACK = (
+    "WITH toks AS (SELECT doc_id,"
+    "  CASE WHEN length(trim(text)) = 0 THEN 0"
+    "       ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens"
+    "  FROM documents),"
+    " sharded AS (SELECT doc_id, n_tokens::BIGINT AS n_tokens,"
+    "  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8 AS shard"
+    "  FROM toks),"
+    " off AS (SELECT doc_id, n_tokens, shard,"
+    "  sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id"
+    "    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS o"
+    "  FROM sharded)"
+    " SELECT doc_id, n_tokens, shard,"
+    "  (o // 256)::BIGINT AS pack_idx,"
+    "  (o % 256)::BIGINT AS pack_offset,"
+    "  (o % 256 + n_tokens > 256) AS straddles"
+    " FROM off"
 )
 
 
@@ -2783,6 +2923,9 @@ def oracle_sql() -> dict[str, str]:
         "winnow_near_dup_pairs": _DUCK_WINNOW_PAIRS,
         "bm25_topk": _duck_bm25(),
         "winnow_decontaminate": _DUCK_WINNOW_DECON,
+        "text_repetition": _DUCK_REPETITION,
+        "pii_scrub": _duck_pii(),
+        "pack_sequences": _DUCK_PACK,
         "embedding_near_dup": (
             "SELECT a.vec_id AS a_id, b.vec_id AS b_id,"
             " round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)"

@@ -138,6 +138,33 @@ def planted_docs(docs):
     return base.unionByName(plants)
 
 
+def pii_planted_docs(docs):
+    """PII TEST FIXTURE (not an operator): the documents corpus with
+    deterministic PII appended — an email on every doc_id % 5 == 0 doc, a
+    phone on % 7 == 1, an IPv4 on % 11 == 2 (some docs get several) — so
+    ops.pii.pii_scrub has true positives at every scale factor and clean
+    docs stay untouched. The DuckDB oracle states the same printf-built
+    suffixes verbatim. Returns (doc_id, text)."""
+    from pyspark.sql import functions as F
+
+    d = F.col("doc_id")
+    email = F.when(
+        d % 5 == 0,
+        F.format_string(" reach me at user%d@example.com ok", d),
+    ).otherwise(F.lit(""))
+    phone = F.when(
+        d % 7 == 1,
+        F.format_string(" call 555-2%02d-4%03d soon", d % 100, d % 1000),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        d % 11 == 2,
+        F.format_string(" from 10.%d.%d.25 logged", d % 256, (d * 7) % 256),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id", F.concat(F.col("text"), email, phone, ip).alias("text")
+    )
+
+
 def contaminated_eval_docs(docs):
     """Eval-set TEST FIXTURE (not an operator): the first 60% of tokens of
     every doc_id % 7 == 0 document, re-keyed +2_000_000 — an eval set that

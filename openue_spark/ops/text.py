@@ -253,6 +253,153 @@ def winnow_fingerprints(docs: DataFrame, k: int = 3, window: int = 4) -> DataFra
     )
 
 
+def pack_sequences(
+    items: DataFrame,
+    order_cols: list[str],
+    n_tokens_col: str = "n_tokens",
+    context_len: int = 512,
+    n_shards: int = 8,
+    salt: str = "",
+) -> DataFrame:
+    """(*order_cols, n_tokens, shard, pack_idx, pack_offset, straddles):
+    GPT-style contiguous sequence packing — concatenate items in stable
+    `order_cols` order within each shard and cut a training sequence
+    every `context_len` tokens. Each item gets the pack it STARTS in
+    (pack_idx), its token offset within that pack (pack_offset), and a
+    `straddles` flag when it crosses the cut into the next pack (the
+    standard concat-then-split data loader crosses document boundaries;
+    the flag lets an attention-masking loader find the split points).
+
+    Assignment is a pure function of (salt, keys, token counts): the
+    shard is a hash bucket of the first order column, so re-runs,
+    backfills and engine ports reproduce byte-identical packs (same
+    md5-prefix mechanism as ops/sampling — and like hash_split, growing
+    the corpus only APPENDS to a shard's tail packs).
+
+    Scale shape: ONE shuffle (hash-partition by shard) + a per-shard
+    sort/window for the running offset. Contiguous packing is inherently
+    sequential per output stream; shards ARE the parallel unit (one per
+    output file, like a tokenizer-run's shards) — size n_shards to the
+    cluster, not to the data."""
+    from pyspark.sql import Window
+
+    from .sampling import hash_bucket
+
+    shard = (
+        F.conv(hash_bucket(F.col(order_cols[0]), salt, digits=4), 16, 10).cast(
+            "long"
+        )
+        % n_shards
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = items.select(
+        *order_cols,
+        F.col(n_tokens_col).cast("long").alias("n_tokens"),
+        shard.alias("shard"),
+    )
+    n_tok = F.col("n_tokens")
+    offset = (F.sum(n_tok).over(w) - n_tok).alias("_off")
+    return (
+        base.select("*", offset)
+        .select(
+            *order_cols,
+            "n_tokens",
+            "shard",
+            (F.col("_off") / context_len).cast("long").alias("pack_idx"),
+            (F.col("_off") % context_len).alias("pack_offset"),
+            (F.col("_off") % context_len + F.col("n_tokens") > context_len).alias(
+                "straddles"
+            ),
+        )
+    )
+
+
+def repetition_stats(docs: DataFrame, n: int = 2) -> DataFrame:
+    """(doc_id, n_tokens, dup_token_frac, top_ngram_frac, dup_ngram_frac):
+    within-document repetition statistics — the Gopher/MassiveText
+    repetition filters (Rae et al. 2021, Appendix A; reused by RefinedWeb
+    / FineWeb) restated over whitespace tokens:
+
+    - dup_token_frac: fraction of token occurrences that are repeats of
+      an earlier token (1 - distinct/total).
+    - top_ngram_frac: fraction of n-gram positions covered by the single
+      most frequent n-gram.
+    - dup_ngram_frac: fraction of n-gram positions whose n-gram occurs
+      more than once.
+
+    Docs with fewer than n tokens (or empty) report zero fractions; all
+    fractions rounded to 4 decimals (oracle-compare hygiene). Filter on
+    these columns (e.g. dup_ngram_frac > 0.75) to drop degenerate
+    machine-generated / boilerplate documents before training.
+
+    Scale shape: pure per-row column algebra, zero shuffles. The n-gram
+    array and its distinct set are materialized behind a barrier before
+    the counting lambda reads them (CollapseProject would otherwise
+    inline the n-gram build INTO the per-distinct-gram filter lambda and
+    re-run it once per distinct gram — the measured-14x hazard). Per-row
+    cost is O(distinct * total) gram comparisons — bounded by chunking
+    upstream (chunk_token_windows) for pathological megadocs."""
+    from .dedup import _barrier
+
+    toked = _barrier(
+        docs.select(
+            "doc_id",
+            F.when(
+                F.length(F.trim(F.col("text"))) == 0,
+                F.expr("cast(array() as array<string>)"),
+            )
+            .otherwise(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+            .alias("_toks"),
+        )
+    )
+    grams = _barrier(
+        toked.select(
+            "doc_id",
+            F.size("_toks").alias("_nt"),
+            F.size(F.array_distinct("_toks")).alias("_ndt"),
+            F.expr(
+                f"CASE WHEN size(_toks) < {n}"
+                " THEN cast(array() as array<string>)"
+                f" ELSE transform(sequence(1, size(_toks) - {n - 1}),"
+                f"   i -> concat_ws(' ', slice(_toks, i, {n}))) END"
+            ).alias("_ng"),
+        )
+    )
+    counted = _barrier(
+        grams.select(
+            "doc_id",
+            "_nt",
+            "_ndt",
+            F.size("_ng").alias("_nn"),
+            F.expr(
+                "transform(array_distinct(_ng),"
+                " g -> size(filter(_ng, x -> x = g)))"
+            ).alias("_cnts"),
+        )
+    )
+    return counted.select(
+        "doc_id",
+        F.col("_nt").cast("long").alias("n_tokens"),
+        F.expr(
+            "round(CASE WHEN _nt = 0 THEN 0.0"
+            " ELSE (_nt - _ndt) / cast(_nt as double) END, 4)"
+        ).alias("dup_token_frac"),
+        F.expr(
+            "round(CASE WHEN _nn = 0 THEN 0.0"
+            " ELSE array_max(_cnts) / cast(_nn as double) END, 4)"
+        ).alias("top_ngram_frac"),
+        F.expr(
+            "round(CASE WHEN _nn = 0 THEN 0.0"
+            " ELSE aggregate(_cnts, 0, (a, c) -> a + if(c > 1, c, 0))"
+            "  / cast(_nn as double) END, 4)"
+        ).alias("dup_ngram_frac"),
+    )
+
+
 def with_fingerprint(docs: DataFrame) -> DataFrame:
     """Normalized-text fingerprint: md5 of whitespace-collapsed lowercase
     text — catches near-exact duplicates that differ only in spacing/case."""

@@ -455,6 +455,156 @@ def test_winnow_decontaminate_matches_brute_force(spark, docs):
     assert any(exp.values())  # the fixture really plants contamination
 
 
+def _r4(x: float) -> float:
+    """round(x, 4) with Spark's double semantics: HALF_UP on the shortest
+    decimal repr (Spark routes doubles through BigDecimal.valueOf ==
+    Double.toString; Python's built-in round is banker's and differs on
+    exact midpoints like 1/32)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.0001"), ROUND_HALF_UP))
+
+
+def test_repetition_stats_brute_force(spark, docs):
+    from collections import Counter
+
+    from openue_spark.ops.text import repetition_stats
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    exp = {}
+    for d, t in texts.items():
+        toks = t.strip().lower().split() if t.strip() else []
+        nt = len(toks)
+        ng = [" ".join(toks[i : i + 2]) for i in range(nt - 1)]
+        cnt = Counter(ng)
+        nn = len(ng)
+        exp[d] = (
+            nt,
+            _r4((nt - len(set(toks))) / nt) if nt else 0.0,
+            _r4(max(cnt.values()) / nn) if nn else 0.0,
+            _r4(sum(c for c in cnt.values() if c > 1) / nn) if nn else 0.0,
+        )
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_token_frac, r.top_ngram_frac, r.dup_ngram_frac)
+        for r in repetition_stats(docs).collect()
+    }
+    assert got == exp
+    assert any(v[3] > 0 for v in exp.values())  # fixture really repeats
+
+
+def test_repetition_stats_edges(spark):
+    from openue_spark.ops.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, ""),
+            (1, "   "),
+            (2, "solo"),
+            (3, "a a a a"),
+            (4, "x y x y x"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.dup_token_frac, r.top_ngram_frac, r.dup_ngram_frac)
+        for r in repetition_stats(df).collect()
+    }
+    assert got[0] == (0, 0.0, 0.0, 0.0)
+    assert got[1] == (0, 0.0, 0.0, 0.0)
+    assert got[2] == (1, 0.0, 0.0, 0.0)  # one token, no bigrams
+    # "a a a a": 3 dup tokens of 4; bigrams = ['a a']*3 -> top=dup=1.0
+    assert got[3] == (4, 0.75, 1.0, 1.0)
+    # "x y x y x": bigrams = [x y, y x, x y, y x] -> top 2/4, dup 4/4
+    assert got[4] == (5, 0.6, 0.5, 1.0)
+
+
+def test_pii_scrub_brute_force(spark, docs):
+    """Counts AND redacted text match a Python `re` reference over the
+    planted fixture; clean docs pass through byte-identical."""
+    import re as _re
+
+    from openue_spark.fixtures import pii_planted_docs
+    from openue_spark.ops.pii import PII_PATTERNS, pii_scrub
+
+    planted = {r.doc_id: r.text for r in pii_planted_docs(docs).collect()}
+    # the fixture plants what it promises
+    for d, t in planted.items():
+        assert (f"user{d}@example.com" in t) == (d % 5 == 0)
+        assert (" call 555-2" in t) == (d % 7 == 1)
+        assert (" from 10." in t) == (d % 11 == 2)
+    exp = {}
+    for d, t in planted.items():
+        counts = tuple(len(_re.findall(pat, t)) for _, pat, _ in PII_PATTERNS)
+        red = t
+        for _, pat, tok in PII_PATTERNS:
+            red = _re.sub(pat, tok, red)
+        exp[d] = counts + (red,)
+    got = {
+        r.doc_id: (r.n_emails, r.n_phones, r.n_ipv4s, r.redacted)
+        for r in pii_scrub(pii_planted_docs(docs)).collect()
+    }
+    assert got == exp
+    assert sum(v[0] for v in exp.values()) > 0
+    assert sum(v[1] for v in exp.values()) > 0
+    assert sum(v[2] for v in exp.values()) > 0
+    # redaction removed every detected match
+    for d, (ne, np_, ni, red) in got.items():
+        assert red.count("<EMAIL>") == ne
+        assert red.count("<PHONE>") == np_
+        assert red.count("<IP>") == ni
+
+
+def test_pii_scrub_clean_text_untouched(spark):
+    from openue_spark.ops.pii import pii_scrub
+
+    df = spark.createDataFrame(
+        [(0, "no pii here at all"), (1, "version 1.2.3.4.5 is not an ip? ")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in pii_scrub(df).collect()}
+    assert rows[0].redacted == "no pii here at all"
+    assert (rows[0].n_emails, rows[0].n_phones, rows[0].n_ipv4s) == (0, 0, 0)
+    # 1.2.3.4.5: the first dotted quad "1.2.3.4" has a word boundary on
+    # both sides ('.' is a non-word char), so the IPv4 regex DOES match —
+    # same in Java, RE2 and Python; the op's contract is the pattern.
+    assert rows[1].n_ipv4s == 1
+
+
+def test_pack_sequences_brute_force(spark, docs):
+    """Pack assignment equals a Python replay (md5 shard, stable-order
+    cumsum); invariant to input partitioning."""
+    import hashlib
+
+    from openue_spark.ops.text import pack_sequences, with_token_counts
+
+    L, S = 64, 4
+    counts = with_token_counts(docs).select("doc_id", "ws_tokens")
+    toks = {r.doc_id: r.ws_tokens for r in counts.collect()}
+    shard_of = {
+        d: int(hashlib.md5(str(d).encode()).hexdigest()[:4], 16) % S for d in toks
+    }
+    exp = {}
+    for s in range(S):
+        off = 0
+        for d in sorted(k for k, sh in shard_of.items() if sh == s):
+            n = toks[d]
+            exp[d] = (n, s, off // L, off % L, off % L + n > L)
+            off += n
+    for parts in (1, 7):
+        got = {
+            r.doc_id: (r.n_tokens, r.shard, r.pack_idx, r.pack_offset, r.straddles)
+            for r in pack_sequences(
+                counts.repartition(parts),
+                ["doc_id"],
+                n_tokens_col="ws_tokens",
+                context_len=L,
+                n_shards=S,
+            ).collect()
+        }
+        assert got == exp
+    assert any(v[4] for v in exp.values())  # some doc straddles a cut
+
+
 def _brute_bm25(texts, queries, k=10, k1=1.2, b=0.75, max_df=10000):
     """Python reference for ops.search.bm25_topk — SAME expression shape
     (association order matters: floor() of a float product must see
