@@ -312,6 +312,17 @@ def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_verified_pairs(_planted(spark, sf_dir), min_jaccard=0.6)
 
 
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster labels (ops/dedup.py): transitive closure of the
+    verified MinHash pair graph over the planted corpus, every doc
+    labeled with its cluster's min doc_id (singletons = self). Oracle:
+    the minhash pair SQL wrapped in a recursive-CTE closure walk (same
+    pattern as link_connected_components)."""
+    from .ops.dedup import near_dup_clusters
+
+    return near_dup_clusters(_planted(spark, sf_dir), min_jaccard=0.6)
+
+
 def q_minhash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.dedup import minhash_dedup_keep
 
@@ -1820,6 +1831,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # core is head-checked by w2_stable_ordering, and its md5 shard
         # hash by doc_fingerprint / the head dedup rows
         "pack_sequences": q_pack_sequences,
+        # near-dup cluster labels: tail; composition of two head-checked
+        # pieces (minhash_verified_pairs + the linking CC engine behind
+        # link_connected_components), closed by the same recursive oracle
+        "near_dup_clusters": q_near_dup_clusters,
     }
 
 
@@ -1876,6 +1891,21 @@ _DUCK_MINHASH_KEEP = (
     f"WITH {_DUCK_CORPUS},{_DUCK_SIGS}"
     " SELECT doc_id FROM corpus WHERE doc_id NOT IN"
     " (SELECT DISTINCT b_id FROM verified WHERE jaccard >= 0.6)"
+)
+
+# mirrors ops/dedup.near_dup_clusters: the minhash pair graph closed
+# transitively by a recursive walk (same pattern as _DUCK_LINK_CC), every
+# corpus doc labeled with its component's min doc_id.
+_DUCK_NEAR_DUP_CLUSTERS = (
+    f"WITH RECURSIVE {_DUCK_CORPUS},{_DUCK_SIGS},"
+    " e AS (SELECT a_id AS src, b_id AS dst FROM verified WHERE jaccard >= 0.6"
+    "  UNION SELECT b_id, a_id FROM verified WHERE jaccard >= 0.6),"
+    " walk(node, label) AS ("
+    "  SELECT doc_id, doc_id FROM corpus"
+    "  UNION"
+    "  SELECT e.dst, w.label FROM walk w JOIN e ON e.src = w.node)"
+    " SELECT node AS doc_id, min(label)::BIGINT AS cluster_rep"
+    " FROM walk GROUP BY node"
 )
 
 def _duck_hex_word(start: int) -> str:
@@ -2926,6 +2956,7 @@ def oracle_sql() -> dict[str, str]:
         "text_repetition": _DUCK_REPETITION,
         "pii_scrub": _duck_pii(),
         "pack_sequences": _DUCK_PACK,
+        "near_dup_clusters": _DUCK_NEAR_DUP_CLUSTERS,
         "embedding_near_dup": (
             "SELECT a.vec_id AS a_id, b.vec_id AS b_id,"
             " round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)"

@@ -174,6 +174,36 @@ def minhash_dedup_keep(docs: DataFrame, min_jaccard: float = 0.6) -> DataFrame:
     return corpus_ids.join(drops, "doc_id", "left_anti").select("doc_id")
 
 
+def near_dup_clusters(docs: DataFrame, min_jaccard: float = 0.6) -> DataFrame:
+    """(doc_id, cluster_rep): every corpus document labeled with the
+    canonical representative (min doc_id) of its near-duplicate cluster —
+    the transitive closure of the verified MinHash pair graph; documents
+    with no near-dup are their own rep. This is the materialized-cluster
+    view production dedup keeps alongside the survivor list: it EXPLAINS
+    every drop (group by cluster_rep to audit a cluster) and lets a
+    pipeline choose a different keep policy (longest / newest / highest
+    quality) without re-running detection, where `minhash_dedup_keep`
+    hard-codes keep-lowest-id.
+
+    Scale shape: the pair graph rides the banded-LSH path (never
+    all-pairs); clustering reuses the linking engine's production
+    connected components (contraction-interleaved propagation, gated
+    exact finish) via ops.graph — near-dup clusters are tiny and shallow,
+    so the propagation converges in a couple of rounds."""
+    from .graph import connected_components
+
+    pairs = minhash_verified_pairs(docs, min_jaccard).select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    )
+    comp = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("component").alias("_rep")
+    )
+    ids = _corpus(docs).select("doc_id")
+    return ids.join(comp, "doc_id", "left").select(
+        "doc_id", F.coalesce(F.col("_rep"), F.col("doc_id")).alias("cluster_rep")
+    )
+
+
 # --- SimHash (64-bit) ---
 
 # Per-token 64 hash bits as two 32-bit words (conv of 8 hex chars fits a

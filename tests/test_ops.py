@@ -54,6 +54,41 @@ def test_minhash_dedup_keep_drops_plants(spark, docs):
     assert all(i in keep for i in range(60))
 
 
+def test_near_dup_clusters_matches_union_find(spark, docs):
+    """Cluster labels equal a Python union-find closure of the verified
+    pair graph (rep = min doc_id); singletons label themselves."""
+    from openue_spark.fixtures import planted_docs
+    from openue_spark.ops.dedup import minhash_verified_pairs, near_dup_clusters
+
+    corpus = planted_docs(docs)
+    pairs = [
+        (r.a_id, r.b_id) for r in minhash_verified_pairs(corpus, 0.6).collect()
+    ]
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    ids = [r.doc_id for r in corpus.select("doc_id").collect()]
+    exp = {d: find(d) for d in ids}
+    got = {
+        r.doc_id: r.cluster_rep for r in near_dup_clusters(corpus, 0.6).collect()
+    }
+    assert got == exp
+    sizes = {}
+    for rep in exp.values():
+        sizes[rep] = sizes.get(rep, 0) + 1
+    assert max(sizes.values()) >= 2  # the plants really cluster
+    assert any(v == 1 for v in sizes.values())  # and singletons exist
+
+
 def test_operators_take_corpus_verbatim(spark, docs):
     """A user calling the dedup ops on their own corpus must get results
     over exactly their doc_ids — no fixture rows injected by the operator."""
