@@ -143,3 +143,34 @@ def test_dedup_groupby_is_partial_aggregated(spark):
     plan = _plan(triple_table(extract_triples(df)))
     assert plan.count("HashAggregate") >= 2, plan
     assert "partial_count" in plan or "partial" in plan, plan
+
+
+def test_row_local_text_ops_plans_are_zero_shuffle(spark):
+    """repetition_stats and pii_scrub are per-row projections — any
+    Exchange in their plans means a regression broke the 'parallelism
+    rides input partitions' property (the barriers inside
+    repetition_stats appear as ExistingRDD scans, not shuffles)."""
+    from openue_spark.fixtures import pii_planted_docs
+    from openue_spark.ops.pii import pii_scrub
+    from openue_spark.ops.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} w{i % 3} w2 w2") for i in range(32)],
+        "doc_id long, text string",
+    )
+    assert "Exchange" not in _plan(repetition_stats(docs))
+    assert "Exchange" not in _plan(pii_scrub(pii_planted_docs(docs)))
+
+
+def test_pack_sequences_plan_has_exactly_one_shuffle(spark):
+    """Contiguous packing pays ONE hash-partition on shard (the parallel
+    unit) followed by the per-shard sort/window — a second Exchange
+    would mean the window spec stopped riding the shard partitioning."""
+    from openue_spark.ops.text import pack_sequences
+
+    items = spark.createDataFrame(
+        [(i, 10 + i % 5) for i in range(64)], "doc_id long, n_tokens long"
+    )
+    plan = _plan(pack_sequences(items, ["doc_id"], context_len=32, n_shards=4))
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" in plan, plan
