@@ -1228,6 +1228,30 @@ def q_event_type_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- full extraction pipeline (mock forwards — rows-only check) ---
 
 
+def q_conversation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-conversation rollup of the agent transcript (role mix, distinct
+    tools, wall-clock span, mean turn tokens) — the input_hint's
+    role/tool/ts columns as first-class analytics. Rows-only for the
+    driver: the transcript table is fixture-SYNTHESIZED (splitmix64 —
+    wrapping uint64 arithmetic DuckDB cannot state), not one of the
+    pre-registered parquet views; the full value check lives in
+    tests/test_transcripts.py against the canonical pandas fixture,
+    which IS the Spark input by construction."""
+    from .ops.transcripts import conversation_stats
+
+    return conversation_stats(transcripts_spark(spark, _sf_turns(sf_dir)))
+
+
+def q_tool_usage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-tool usage audit over the transcript (call volume, conversation
+    spread, active window). Rows-only for the same fixture-synthesis
+    reason as conversation_stats; value-pinned by
+    tests/test_transcripts.py."""
+    from .ops.transcripts import tool_usage
+
+    return tool_usage(transcripts_spark(spark, _sf_turns(sf_dir)))
+
+
 def q_extract_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline import extract_triples
 
@@ -1835,6 +1859,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pieces (minhash_verified_pairs + the linking CC engine behind
         # link_connected_components), closed by the same recursive oracle
         "near_dup_clusters": q_near_dup_clusters,
+        # agent-transcript analytics: tail, rows-only (input is fixture-
+        # synthesized, not a DuckDB view — docstrings explain); the value
+        # check is the pandas-fixture brute force in tests
+        "conversation_stats": q_conversation_stats,
+        "tool_usage": q_tool_usage,
     }
 
 

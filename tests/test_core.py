@@ -235,6 +235,10 @@ ROWS_ONLY = {
     "ann_ivf_topk",          # proxy: ann_ivf_recall (same code path)
     "extract_triples",       # proxy: extract_diff_vs_golden (golden hash)
     "link_canonical_triples",  # proxy: link_canonical_rewrite
+    # transcript analytics: input is fixture-synthesized (splitmix64 —
+    # not statable in DuckDB); value-pinned by tests/test_transcripts.py
+    "conversation_stats",
+    "tool_usage",
 }
 
 
