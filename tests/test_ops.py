@@ -640,6 +640,55 @@ def test_pack_sequences_brute_force(spark, docs):
     assert any(v[4] for v in exp.values())  # some doc straddles a cut
 
 
+def test_text_ops_survive_adversarial_unicode(spark):
+    """Empty / whitespace-only / diacritics / CJK / emoji / 10k-char-token
+    inputs flow through every per-row text op without crashing, and the
+    token-level semantics hold on non-ASCII (whitespace tokenization is
+    byte-agnostic)."""
+    from openue_spark.ops.pii import pii_scrub
+    from openue_spark.ops.text import (
+        chunk_token_windows,
+        lang_id_ngram,
+        repetition_stats,
+        winnow_fingerprints,
+        with_quality_score,
+        with_token_counts,
+    )
+
+    rows = [
+        (0, ""),
+        (1, " \t  "),
+        (2, "héllo wörld héllo wörld"),
+        (3, "日本語 テスト 日本語 テスト 日本語"),
+        (4, "x" * 10_000),
+        (5, "🙂 🙂 🙂 emoji run"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for op in (
+        repetition_stats,
+        with_token_counts,
+        with_quality_score,
+        lang_id_ngram,
+        chunk_token_windows,
+        winnow_fingerprints,
+        pii_scrub,
+    ):
+        op(df).collect()
+    rep = {r.doc_id: r for r in repetition_stats(df).collect()}
+    assert rep[2].dup_token_frac == 0.5  # both accented tokens repeat
+    assert rep[3].n_tokens == 5 and rep[3].dup_token_frac == 0.6
+    assert rep[4].n_tokens == 1 and rep[4].dup_token_frac == 0.0
+    assert rep[5].dup_token_frac > 0  # emoji are ordinary tokens
+    scrubbed = {r.doc_id: r for r in pii_scrub(df).collect()}
+    for d, t in rows:  # nothing here is PII: byte-identical pass-through
+        assert scrubbed[d].redacted == t
+        assert (
+            scrubbed[d].n_emails,
+            scrubbed[d].n_phones,
+            scrubbed[d].n_ipv4s,
+        ) == (0, 0, 0)
+
+
 def _brute_bm25(texts, queries, k=10, k1=1.2, b=0.75, max_df=10000):
     """Python reference for ops.search.bm25_topk — SAME expression shape
     (association order matters: floor() of a float product must see
