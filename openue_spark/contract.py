@@ -565,6 +565,15 @@ def _duck_bm25() -> str:
     )
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document (ops/search.py): rational idf
+    in pure BIGINT micro-units — no doubles anywhere, Spark `div` ==
+    DuckDB `//`, so the row is hash-exact by construction."""
+    from .ops.search import tfidf_topk_keywords
+
+    return tfidf_topk_keywords(_t(spark, sf_dir, "documents"), k=5)
+
+
 # --- similarity: IVF approximate top-k (scale path; rows-only) ---
 
 
@@ -1864,6 +1873,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # check is the pandas-fixture brute force in tests
         "conversation_stats": q_conversation_stats,
         "tool_usage": q_tool_usage,
+        # TF-IDF keyword extraction: tail; the posting-list/df/window
+        # machinery is head-checked via the dedup joins + w2's window
+        "tfidf_keywords": q_tfidf_keywords,
     }
 
 
@@ -2163,6 +2175,28 @@ _DUCK_PACK = (
     "  (o % 256)::BIGINT AS pack_offset,"
     "  (o % 256 + n_tokens > 256) AS straddles"
     " FROM off"
+)
+
+
+# mirrors ops/search.tfidf_topk_keywords(k=5, max_df=10000): the same
+# BIGINT-only micro-score ((tf * N * 1e6) // df) and (score desc, token)
+# tie-break — no doubles on either side.
+_DUCK_TFIDF_KEYWORDS = (
+    "WITH tkn AS (SELECT doc_id,"
+    "  unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token"
+    "  FROM documents),"
+    " tf AS (SELECT doc_id, token, count(*)::BIGINT AS tf"
+    "  FROM tkn GROUP BY doc_id, token),"
+    " dfq AS (SELECT token, count(*)::BIGINT AS df FROM tf"
+    "  GROUP BY token HAVING count(*) <= 10000),"
+    " n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),"
+    " scored AS (SELECT doc_id, token, tf, df,"
+    "  ((tf * n_docs * 1000000) // df)::BIGINT AS score_micro"
+    "  FROM tf JOIN dfq USING (token) CROSS JOIN n),"
+    " ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id"
+    "  ORDER BY score_micro DESC, token) AS rk FROM scored)"
+    " SELECT doc_id, token, tf, df, score_micro, rk::BIGINT AS rank"
+    " FROM ranked WHERE rk <= 5"
 )
 
 
@@ -2986,6 +3020,7 @@ def oracle_sql() -> dict[str, str]:
         "pii_scrub": _duck_pii(),
         "pack_sequences": _DUCK_PACK,
         "near_dup_clusters": _DUCK_NEAR_DUP_CLUSTERS,
+        "tfidf_keywords": _DUCK_TFIDF_KEYWORDS,
         "embedding_near_dup": (
             "SELECT a.vec_id AS a_id, b.vec_id AS b_id,"
             " round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)"

@@ -134,3 +134,64 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "score_micro", "rank")
     )
+
+
+def tfidf_topk_keywords(
+    docs: DataFrame, k: int = 5, max_df: int = 10000
+) -> DataFrame:
+    """(doc_id, token, tf, df, score_micro, rank): the k most
+    characteristic tokens per document under rational TF-IDF — the
+    keyword-extraction / topic-surfacing pass of corpus exploration
+    (BM25 above ranks documents for queries; this ranks tokens within
+    documents).
+
+    Scoring is tf * (N / df) in integer MICRO-units computed entirely in
+    BIGINT arithmetic: score_micro = (tf * n_docs * 1000000) div df.
+    No doubles anywhere, so Spark `div` and DuckDB `//` agree bit-for-bit
+    (the ln of classic idf is monotone per-token — ranking is unchanged
+    by dropping it, same argument as the BM25 rational idf). Headroom:
+    tf * n_docs * 1e6 must stay under 2^63 — fine through ~1e9 docs with
+    tf <= ~9e3; a larger corpus drops the multiplier to 1e3.
+
+    Scale shape: tf groupBy (partial-aggregated map-side), df groupBy
+    over the tf table, `max_df` drops stopword-grade tokens BEFORE the
+    join (they are non-keywords by definition and the posting-list
+    scale-killer otherwise), one broadcast of the 1-row corpus stat, and
+    a row_number window partitioned by doc_id. Ties break on ascending
+    token — fully deterministic output.
+    """
+    from .dedup import _corpus
+
+    toked = _corpus(docs)
+    tf = (
+        toked.select("doc_id", F.explode("tokens").alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfq = (
+        tf.groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("df"))
+        .where(F.col("df") <= max_df)
+    )
+    n_docs = toked.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    scored = (
+        tf.join(dfq, "token")
+        .crossJoin(F.broadcast(n_docs))  # 1 row, safe to hint
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.expr("(tf * n_docs * 1000000) div df")
+            .cast("long")
+            .alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score_micro").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= k)
+        .select("doc_id", "token", "tf", "df", "score_micro", "rank")
+    )

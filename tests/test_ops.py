@@ -640,6 +640,34 @@ def test_pack_sequences_brute_force(spark, docs):
     assert any(v[4] for v in exp.values())  # some doc straddles a cut
 
 
+def test_tfidf_keywords_brute_force(spark, docs):
+    """Top-k keywords equal a pure-integer Python replay (rational idf
+    micro-units, (score desc, token) tie-break)."""
+    from collections import Counter
+
+    from openue_spark.ops.search import tfidf_topk_keywords
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    tf = {d: Counter(t.strip().lower().split()) for d, t in texts.items()}
+    df = Counter()
+    for cnt in tf.values():
+        df.update(cnt.keys())
+    n = len(texts)
+    exp = set()
+    for d, cnt in tf.items():
+        scored = sorted(
+            ((tok, c, df[tok], c * n * 1_000_000 // df[tok]) for tok, c in cnt.items()),
+            key=lambda x: (-x[3], x[0]),
+        )
+        for rank, (tok, c, dfv, s) in enumerate(scored[:5], start=1):
+            exp.add((d, tok, c, dfv, s, rank))
+    got = {
+        (r.doc_id, r.token, r.tf, r.df, r.score_micro, r.rank)
+        for r in tfidf_topk_keywords(docs, k=5).collect()
+    }
+    assert got == exp
+
+
 def test_text_ops_survive_adversarial_unicode(spark):
     """Empty / whitespace-only / diacritics / CJK / emoji / 10k-char-token
     inputs flow through every per-row text op without crashing, and the
