@@ -448,6 +448,34 @@ def q_hash_split_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "split")
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixing stratified sample (ops/sampling.py): per-language
+    keep fractions over the documents table (zh kept whole, en halved,
+    de quartered, the rest at the 10% default) — each row's fate a pure
+    function of md5(doc_id), restated verbatim by the oracle's CASE."""
+    from .ops.sampling import stratified_sample
+
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    return stratified_sample(
+        docs,
+        "lang",
+        {"zh": 1.0, "en": 0.5, "de": 0.25},
+        "doc_id",
+        default_fraction=0.1,
+    ).select("doc_id", "lang")
+
+
+def q_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (ops/sampling.py): at most 5 documents per
+    source, chosen by md5 hash order — the per-source cap of a mixing
+    recipe; oracle replays the same row_number over (md5 prefix,
+    doc_id)."""
+    from .ops.sampling import quota_sample
+
+    docs = _t(spark, sf_dir, "documents", spread=False)
+    return quota_sample(docs, "source", 5, "doc_id").select("doc_id", "source")
+
+
 def q_chunk_token_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LLM training-prep chunking (ops/text.py): every document split into
     overlapping fixed-token windows (max 64 tokens, stride 48) — per-row
@@ -1876,6 +1904,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # TF-IDF keyword extraction: tail; the posting-list/df/window
         # machinery is head-checked via the dedup joins + w2's window
         "tfidf_keywords": q_tfidf_keywords,
+        # data mixing: tail; the md5-threshold mechanism is the same one
+        # hash_split_assignment oracle-checks (per-stratum CASE added)
+        "stratified_sample": q_stratified_sample,
+        "quota_sample": q_quota_sample,
     }
 
 
@@ -3021,6 +3053,26 @@ def oracle_sql() -> dict[str, str]:
         "pack_sequences": _DUCK_PACK,
         "near_dup_clusters": _DUCK_NEAR_DUP_CLUSTERS,
         "tfidf_keywords": _DUCK_TFIDF_KEYWORDS,
+        # mirrors ops/sampling.stratified_sample({'zh':1.0,'en':0.5,
+        # 'de':0.25}, default 0.1): cut hexes from _cut_hex (16^4 space;
+        # 'gggg' sorts above every hex digit = keep-all)
+        "stratified_sample": (
+            "SELECT doc_id, lang FROM documents"
+            " WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <"
+            " CASE WHEN lang = 'zh' THEN 'gggg'"
+            "      WHEN lang = 'en' THEN '8000'"
+            "      WHEN lang = 'de' THEN '4000'"
+            "      ELSE '199a' END"
+        ),
+        # mirrors ops/sampling.quota_sample(source, 5): row_number over
+        # (8-hex md5 prefix, key) within each stratum
+        "quota_sample": (
+            "WITH ranked AS (SELECT doc_id, source,"
+            " row_number() OVER (PARTITION BY source"
+            "  ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id)"
+            " AS rk FROM documents)"
+            " SELECT doc_id, source FROM ranked WHERE rk <= 5"
+        ),
         "embedding_near_dup": (
             "SELECT a.vec_id AS a_id, b.vec_id AS b_id,"
             " round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 4)"

@@ -83,3 +83,58 @@ def hash_split(
     for name, cut in reversed(cuts):
         expr = F.when(bucket < F.lit(cut), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    key_col: str,
+    salt: str = "",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic Bernoulli sample — the data-MIXING /
+    source-weighting pass of corpus preparation (down-weight a dominant
+    crawl, up-weight a scarce language) as a pure per-row filter: a row
+    is kept iff its hash bucket falls below ITS STRATUM's threshold.
+    Strata missing from `fractions` get `default_fraction`.
+
+    Same md5 mechanism (and the same guarantees) as deterministic_sample:
+    a row's fate is a pure function of (salt, key) — growing the corpus,
+    repartitioning, or porting engines never flips an existing row, and
+    re-weighting one stratum leaves every other stratum's sample
+    byte-identical. Zero shuffles."""
+    bucket = hash_bucket(F.col(key_col), salt)
+    cut = F.lit(_cut_hex(default_fraction))
+    for name, frac in sorted(fractions.items()):
+        cut = F.when(F.col(strata_col) == name, F.lit(_cut_hex(frac))).otherwise(
+            cut
+        )
+    return df.where(bucket < cut)
+
+
+def quota_sample(
+    df: DataFrame,
+    strata_col: str,
+    n_per_stratum: int,
+    key_col: str,
+    salt: str = "",
+) -> DataFrame:
+    """At most `n_per_stratum` rows per stratum, chosen by hash order
+    (rank over (md5 bucket, key) within the stratum) — the per-source CAP
+    of a data-mixing recipe. Deterministic and engine-portable given the
+    snapshot; unlike the fraction-based samplers a QUOTA is inherently
+    snapshot-relative (new rows can displace old ones at the boundary —
+    that is what capping means), so persist the chosen keys if the cut
+    must be frozen across backfills. One shuffle (the per-stratum
+    window); 8 hex digits keep hash-order ties (broken by key) rare."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        hash_bucket(F.col(key_col), salt, digits=8), F.col(key_col)
+    )
+    return (
+        df.withColumn("_qrk", F.row_number().over(w))
+        .where(F.col("_qrk") <= n_per_stratum)
+        .drop("_qrk")
+    )

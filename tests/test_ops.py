@@ -821,6 +821,73 @@ def _brute_bucket(key, salt="", digits=4):
     return hashlib.md5(f"{salt}{key}".encode()).hexdigest()[:digits]
 
 
+def test_stratified_sample_brute_force_and_stratum_isolation(spark):
+    """Kept set equals a hashlib replay of the per-stratum thresholds;
+    re-weighting ONE stratum leaves every other stratum's sample
+    byte-identical (the mixing-recipe iteration guarantee)."""
+    import hashlib
+
+    from openue_spark.ops.sampling import stratified_sample
+
+    rows = [(i, ["en", "zh", "de", "fr"][i % 4]) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    fr = {"zh": 1.0, "en": 0.5, "de": 0.25}
+    cuts = {"zh": "gggg", "en": "8000", "de": "4000"}
+    exp = {
+        d
+        for d, lang in rows
+        if hashlib.md5(str(d).encode()).hexdigest()[:4]
+        < cuts.get(lang, "199a")
+    }
+    got = {
+        r.doc_id
+        for r in stratified_sample(
+            df, "lang", fr, "doc_id", default_fraction=0.1
+        ).collect()
+    }
+    assert got == exp
+    assert any(lang == "fr" for d, lang in rows if d in exp)  # default path
+    # stratum isolation: change only en's fraction -> zh/de/fr unchanged
+    got2 = {
+        r.doc_id: r.lang
+        for r in stratified_sample(
+            df, "lang", {**fr, "en": 0.1}, "doc_id", default_fraction=0.1
+        ).collect()
+    }
+    for d, lang in rows:
+        if lang != "en":
+            assert (d in got2) == (d in exp)
+
+
+def test_quota_sample_brute_force(spark):
+    """Per-stratum cap equals a hashlib replay of the (md5, key) rank;
+    invariant to input partitioning."""
+    import hashlib
+
+    from openue_spark.ops.sampling import quota_sample
+
+    rows = [(i, f"src{i % 6}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    by_src: dict = {}
+    for d, s in rows:
+        by_src.setdefault(s, []).append(d)
+    exp = set()
+    for s, ds in by_src.items():
+        ds.sort(key=lambda d: (hashlib.md5(str(d).encode()).hexdigest()[:8], d))
+        exp.update((d, s) for d in ds[:7])
+    for parts in (1, 5):
+        got = {
+            (r.doc_id, r.source)
+            for r in quota_sample(
+                df.repartition(parts), "source", 7, "doc_id"
+            ).collect()
+        }
+        assert got == exp
+    assert all(
+        sum(1 for d, s in exp if s == src) == 7 for src in by_src
+    )  # every stratum capped exactly
+
+
 def test_hash_split_matches_brute_force_and_is_subset_stable(spark):
     from openue_spark.ops.sampling import _cut_hex, hash_split
 
