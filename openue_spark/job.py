@@ -117,6 +117,15 @@ def main(argv: list[str] | None = None, spark=None) -> int:
         " don't change F across resumes of one --out dir",
     )
     parser.add_argument(
+        "--corpus-stats", action="store_true",
+        help="before extraction, roll up THIS RUN's input corpus with the"
+        " agent-transcript analytics (ops/transcripts.py): per-conversation"
+        " role/tool/duration/token stats to corpus_stats/ and the per-tool"
+        " usage audit to tool_usage/, latencies logged to the manifest —"
+        " the corpus-triage pass an operator runs before committing a"
+        " 100 TB extraction",
+    )
+    parser.add_argument(
         "--weights-from",
         help="load the best (metric, step) weights checkpoint from this dir's"
         " checkpoints/ table and broadcast it to the extraction UDFs"
@@ -225,6 +234,9 @@ def main(argv: list[str] | None = None, spark=None) -> int:
             " every run)"
         )
 
+    if args.corpus_stats:
+        _corpus_stats_phase(spark, transcripts, args.out, run_id)
+
     # an increment's extraction manifest lives under its own subdir: the
     # batch shares shard ids with the base corpus, so reusing the base
     # manifest would wrongly skip "completed" shards. The subdir key is a
@@ -328,6 +340,38 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     if owns_session:
         spark.stop()
     return 0
+
+
+def _corpus_stats_phase(spark, transcripts, out: str, run_id: str) -> None:
+    """The --corpus-stats phase: per-conversation rollups to corpus_stats/
+    and the per-tool usage audit to tool_usage/ over THIS RUN's input
+    (post --sample-fraction, so the stats describe the corpus actually
+    extracted). Plain partial-aggregatable groupBys — at 100 TB this is
+    one shuffle each, the cheapest look an operator gets before paying
+    for extraction."""
+    from openue_spark.ops.transcripts import conversation_stats, tool_usage
+    from openue_spark.pipeline.materialize import log_stage_metric
+    from openue_spark.session import job_phase
+
+    t = time.time()
+    with job_phase(spark, "corpus-stats"):
+        conversation_stats(transcripts).write.mode("overwrite").parquet(
+            f"{out}/corpus_stats"
+        )
+        n_convs = spark.read.parquet(f"{out}/corpus_stats").count()
+        tool_usage(transcripts).write.mode("overwrite").parquet(
+            f"{out}/tool_usage"
+        )
+        n_tools = spark.read.parquet(f"{out}/tool_usage").count()
+    print(
+        f"[job] corpus stats: {n_convs} conversations, {n_tools} distinct"
+        f" tools ({time.time() - t:.1f}s)"
+    )
+    log_stage_metric(
+        spark, out, run_id, "corpus-stats",
+        wall_ms=int((time.time() - t) * 1000),
+        row_count=n_convs, triple_count=n_tools,
+    )
 
 
 def _graph_stats_phase(spark, out: str, run_id: str) -> None:

@@ -132,6 +132,49 @@ def test_job_increment_refreshes_graph_stats(spark, tmp_path):
     assert m == 2  # one per run
 
 
+def test_job_corpus_stats_phase(spark, tmp_path):
+    """--corpus-stats writes the transcript rollups over THIS RUN's input
+    (post-sampling), equal to calling the ops directly, and logs the
+    phase to the manifest."""
+    from openue_spark.fixtures import transcripts_spark
+    from openue_spark.job import main
+    from openue_spark.ops.sampling import deterministic_sample
+    from openue_spark.ops.transcripts import conversation_stats, tool_usage
+
+    out = str(tmp_path / "kg_cs")
+    assert (
+        main(
+            ["--synthesize", "2000", "--out", out, "--shards", "2",
+             "--no-link", "--corpus-stats", "--sample-fraction", "0.5"],
+            spark=spark,
+        )
+        == 0
+    )
+    sampled = deterministic_sample(
+        transcripts_spark(spark, 2000), 0.5, "conv_id", salt="corpus-sample"
+    )
+    got_cs = {
+        r.conv_id: r.asDict()
+        for r in spark.read.parquet(f"{out}/corpus_stats").collect()
+    }
+    exp_cs = {
+        r.conv_id: r.asDict() for r in conversation_stats(sampled).collect()
+    }
+    assert got_cs == exp_cs
+    got_tools = {
+        r.tool: (r.n_calls, r.n_convs)
+        for r in spark.read.parquet(f"{out}/tool_usage").collect()
+    }
+    exp_tools = {
+        r.tool: (r.n_calls, r.n_convs) for r in tool_usage(sampled).collect()
+    }
+    assert got_tools == exp_tools and got_tools
+    m = spark.read.parquet(f"{out}/manifest").where(
+        F.col("stage") == "corpus-stats"
+    ).collect()
+    assert len(m) == 1 and m[0].row_count == len(exp_cs)
+
+
 def test_job_increment_requires_prior_linked_run(spark, tmp_path):
     import pytest
 
