@@ -285,6 +285,11 @@ def pack_sequences(
 
     from .sampling import hash_bucket
 
+    if context_len <= 0 or n_shards <= 0:
+        raise ValueError(
+            f"context_len ({context_len}) and n_shards ({n_shards}) must be"
+            " positive"
+        )
     shard = (
         F.conv(hash_bucket(F.col(order_cols[0]), salt, digits=4), 16, 10).cast(
             "long"

@@ -89,6 +89,31 @@ def test_near_dup_clusters_matches_union_find(spark, docs):
     assert any(v == 1 for v in sizes.values())  # and singletons exist
 
 
+def test_near_dup_clusters_all_singletons(spark):
+    """Disjoint vocabularies -> zero pairs -> every doc is its own rep
+    (the CC path must survive an EMPTY edge set)."""
+    from openue_spark.ops.dedup import near_dup_clusters
+
+    df = spark.createDataFrame(
+        [(i, " ".join(f"u{i}x{j}" for j in range(30))) for i in range(8)],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r.cluster_rep for r in near_dup_clusters(df).collect()}
+    assert got == {i: i for i in range(8)}
+
+
+def test_pack_sequences_rejects_degenerate_params(spark):
+    import pytest
+
+    from openue_spark.ops.text import pack_sequences
+
+    df = spark.createDataFrame([(0, 10)], "doc_id long, n_tokens long")
+    with pytest.raises(ValueError, match="must be positive"):
+        pack_sequences(df, ["doc_id"], n_shards=0)
+    with pytest.raises(ValueError, match="must be positive"):
+        pack_sequences(df, ["doc_id"], context_len=0)
+
+
 def test_operators_take_corpus_verbatim(spark, docs):
     """A user calling the dedup ops on their own corpus must get results
     over exactly their doc_ids — no fixture rows injected by the operator."""
