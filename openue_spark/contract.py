@@ -309,7 +309,11 @@ def _planted(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.dedup import minhash_verified_pairs
 
-    return minhash_verified_pairs(_planted(spark, sf_dir), min_jaccard=0.6)
+    # portable=True: md5 signatures, the engine-portable mode the DuckDB
+    # oracle replays bit-for-bit (the production default is xxhash64)
+    return minhash_verified_pairs(
+        _planted(spark, sf_dir), min_jaccard=0.6, portable=True
+    )
 
 
 def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -320,13 +324,13 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern as link_connected_components)."""
     from .ops.dedup import near_dup_clusters
 
-    return near_dup_clusters(_planted(spark, sf_dir), min_jaccard=0.6)
+    return near_dup_clusters(_planted(spark, sf_dir), min_jaccard=0.6, portable=True)
 
 
 def q_minhash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.dedup import minhash_dedup_keep
 
-    return minhash_dedup_keep(_planted(spark, sf_dir), min_jaccard=0.6)
+    return minhash_dedup_keep(_planted(spark, sf_dir), min_jaccard=0.6, portable=True)
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -138,6 +138,66 @@ spark.stop()
 """
 
 
+_DEDUP_POINT_SRC = r"""
+import sys, time
+sys.path.insert(0, {repo!r})
+from openue_spark.session import get_spark
+from openue_spark.ops.dedup import minhash_verified_pairs
+
+cores = {cores}
+spark = get_spark(
+    app_name=f"scaling_dedup_{{cores}}",
+    master=f"local[{{cores}}]",
+    extra_conf={{"spark.ui.showConsoleProgress": "false"}},
+)
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet({path!r}).repartition(4 * cores).persist()
+n_docs = docs.count()
+minhash_verified_pairs(docs).count()  # untimed warm pass
+best = None
+for _ in range({iters}):
+    t0 = time.time()
+    n_pairs = minhash_verified_pairs(docs).count()
+    dt = time.time() - t0
+    if best is None or dt < best[0]:
+        best = (dt, n_pairs)
+print(f"POINT {{cores}} {{best[0]:.3f}} {{best[1]}} {{n_docs}}", flush=True)
+spark.stop()
+"""
+
+
+def ensure_dedup_input(n_docs: int) -> str:
+    """Document corpus for the --dedup tier: the transcript fixture's turn
+    texts re-keyed as (doc_id, text) plus the planted_docs near-dup copies
+    (80% prefixes of every 5th doc) — so the banded join has real matches
+    to verify, like a crawl shard would."""
+    if n_docs > 1_000_000:
+        raise ValueError(
+            "dedup tier caps at 1M docs: planted copy ids are doc_id + 1e6"
+        )
+    path = os.path.join(REPO, ".cache", f"dedup_docs_{n_docs}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        from pyspark.sql import functions as F
+
+        from openue_spark.fixtures import planted_docs, transcripts_spark
+        from openue_spark.session import get_spark
+
+        spark = get_spark(app_name="scaling_dedup_gen", master="local[32]")
+        spark.sparkContext.setLogLevel("ERROR")
+        # doc_id = the GLOBAL turn index (conv serial * 8 + turn_idx) — a
+        # pure function of the row, unique, and < 1e6 at every tier size,
+        # so planted_docs' +1_000_000 copy ids can never collide
+        docs = transcripts_spark(spark, n_docs).select(
+            (
+                F.substring("conv_id", 6, 8).cast("long") * 8 + F.col("turn_idx")
+            ).alias("doc_id"),
+            "text",
+        )
+        planted_docs(docs).write.mode("overwrite").parquet(path)
+        spark.stop()
+    return path
+
+
 def ensure_input(n_turns: int) -> str:
     path = os.path.join(REPO, ".cache", f"transcripts_scaling_{n_turns}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
@@ -169,7 +229,8 @@ def ensure_link_state(n_turns: int) -> str:
 
 
 def run_point(cores: int, path: str, iters: int, mode: str = "extract") -> dict:
-    tmpl = {"extract": _POINT_SRC, "job": _JOB_POINT_SRC, "link": _LINK_POINT_SRC}[mode]
+    tmpl = {"extract": _POINT_SRC, "job": _JOB_POINT_SRC,
+            "link": _LINK_POINT_SRC, "dedup": _DEDUP_POINT_SRC}[mode]
     src = tmpl.format(repo=REPO, cores=cores, path=path, iters=iters)
     cmd = [sys.executable, "-c", src]
     if shutil.which("taskset"):
@@ -207,12 +268,21 @@ def main() -> int:
     ap.add_argument("--link", action="store_true",
                     help="measure the linking verify stage (LSH band join ->"
                     " cosine -> Jaccard) from a stored mention_state table")
+    ap.add_argument("--dedup", action="store_true",
+                    help="measure the training-data dedup tier"
+                    " (minhash_verified_pairs: shingle -> 8x md5 minhash ->"
+                    " banded self-join -> exact-Jaccard verify) over a"
+                    " planted document corpus; --turns = document count")
     args = ap.parse_args()
-    mode = "job" if args.job else ("link" if args.link else "extract")
-    turns = args.turns or {"job": 600_000, "link": 600_000, "extract": 2_400_000}[mode]
+    mode = ("job" if args.job else
+            ("link" if args.link else ("dedup" if args.dedup else "extract")))
+    turns = args.turns or {"job": 600_000, "link": 600_000,
+                           "dedup": 60_000, "extract": 2_400_000}[mode]
 
     sys.path.insert(0, REPO)
-    path = ensure_link_state(turns) if mode == "link" else ensure_input(turns)
+    path = {"link": ensure_link_state, "dedup": ensure_dedup_input}.get(
+        mode, ensure_input
+    )(turns)
     points = []
     for cores in (args.n, 4 * args.n):
         pt = run_point(cores, path, args.iters, mode=mode)
@@ -224,6 +294,7 @@ def main() -> int:
     what = {
         "job": "full job (extract+link+materialize)",
         "link": "linking verify stage (band join -> cosine -> jaccard; edges/s)",
+        "dedup": "minhash near-dup detection (docs/s via turns_per_sec)",
         "extract": "extraction",
     }[mode]
     print(json.dumps({

@@ -26,12 +26,19 @@ def emb(spark):
     return spark.createDataFrame(rows, "vec_id long, embedding array<double>").persist()
 
 
-def test_minhash_finds_planted_near_dups(spark, docs):
+@pytest.mark.parametrize("portable", [False, True])
+def test_minhash_finds_planted_near_dups(spark, docs, portable):
+    """Both hash modes (xxhash64 production default, md5 oracle mode) find
+    the plants — the LSH statistics are hash-agnostic and verification is
+    exact in both."""
     from openue_spark.fixtures import planted_docs
     from openue_spark.ops.dedup import minhash_verified_pairs
 
     corpus = planted_docs(docs)
-    pairs = {(r.a_id, r.b_id) for r in minhash_verified_pairs(corpus, 0.6).collect()}
+    pairs = {
+        (r.a_id, r.b_id)
+        for r in minhash_verified_pairs(corpus, 0.6, portable=portable).collect()
+    }
     planted = {(i, i + 1_000_000) for i in range(0, 60, 5)}
     # an 80%-truncated copy has Jaccard >= ~0.75 with its source; all planted
     # pairs must be discovered (LSH with 4 bands of 2 rows at J>=0.75:
@@ -39,7 +46,7 @@ def test_minhash_finds_planted_near_dups(spark, docs):
     found = planted & pairs
     assert len(found) >= len(planted) - 1, f"missed {planted - pairs}"
     # every reported pair really passes the threshold
-    for r in minhash_verified_pairs(corpus, 0.6).collect():
+    for r in minhash_verified_pairs(corpus, 0.6, portable=portable).collect():
         assert r.jaccard_r >= 0.6
 
 
