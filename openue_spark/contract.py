@@ -1121,6 +1121,28 @@ def q_rollup_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON column analytics: the events.props JSON string
+    parsed JVM-side (get_json_object — Jackson path evaluation inside
+    whole-stage codegen, no Python) and the extracted integer field
+    aggregated per event_type. Oracle: DuckDB's ->> operator on the same
+    path; integer sums keep the row hash-exact. At scale this is ONE
+    partial-aggregatable shuffle — the standard telemetry-props rollup."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("k").cast("long").alias("n_with_k"),
+            F.sum("k").cast("long").alias("sum_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+        )
+    )
+
+
 # --- temporal operators over events: as-of join, range join, sessions ---
 #     (Spark lacks these natively; ops/temporal.py re-expresses each as
 #     equi-join + window so the plan is one key shuffle, no inequality
@@ -1912,6 +1934,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # hash_split_assignment oracle-checks (per-stratum CASE added)
         "stratified_sample": q_stratified_sample,
         "quota_sample": q_quota_sample,
+        # JSON props rollup: tail; agg family head-checked, adds the
+        # get_json_object (semi-structured column) capability
+        "event_props_stats": q_event_props_stats,
     }
 
 
@@ -3067,6 +3092,13 @@ def oracle_sql() -> dict[str, str]:
             "      WHEN lang = 'en' THEN '8000'"
             "      WHEN lang = 'de' THEN '4000'"
             "      ELSE '199a' END"
+        ),
+        "event_props_stats": (
+            "SELECT event_type, count(*)::BIGINT AS n_events,"
+            " count(k)::BIGINT AS n_with_k, sum(k)::BIGINT AS sum_k,"
+            " min(k)::BIGINT AS min_k, max(k)::BIGINT AS max_k"
+            " FROM (SELECT event_type, (props->>'k')::BIGINT AS k FROM events)"
+            " GROUP BY event_type"
         ),
         # mirrors ops/sampling.quota_sample(source, 5): row_number over
         # (8-hex md5 prefix, key) within each stratum
