@@ -1590,6 +1590,18 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.select("node", F.col("rank").alias("pr"))
 
 
+def q_kg_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation (ops/graph.py), 3
+    rounds over the undirected entity graph — community detection as a
+    second exactly-hash-checkable ITERATIVE graph algorithm: integer vote
+    counts + a (count desc, label asc) argmax make the result a pure
+    function of the edge set; the oracle unrolls the same rounds as
+    CTEs."""
+    from .ops.graph import label_propagation
+
+    return label_propagation(_kg_edges_fixture(spark, sf_dir), iterations=3)
+
+
 def q_kg_cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Degree-oriented triangle census (ops/graph.py, Suri-Vassilvitskii)
     over the part co-occurrence graph (parts sharing an order): orient
@@ -1937,6 +1949,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # JSON props rollup: tail; agg family head-checked, adds the
         # get_json_object (semi-structured column) capability
         "event_props_stats": q_event_props_stats,
+        # LPA communities: tail; the iterative-graph-oracle pattern is
+        # head-checked by kg_pagerank (same unrolled-CTE machinery)
+        "kg_communities": q_kg_communities,
     }
 
 
@@ -2150,6 +2165,40 @@ _DUCK_WINNOW_DECON = (
     " FROM (SELECT DISTINCT doc_id FROM documents) b"
     " LEFT JOIN (SELECT doc_id, true AS hit FROM hits) h USING (doc_id)"
 )
+
+
+def _duck_lpa(rounds: int = 3) -> str:
+    """Mirror of ops/graph.label_propagation over the kg edges fixture:
+    the same symmetrized adjacency and the same per-round vote/argmax
+    (count desc, label asc), unrolled as CTEs like the pagerank oracle."""
+    ctes = [
+        "base_e AS ("
+        " SELECT s_name AS src, n_name AS dst"
+        "  FROM supplier JOIN nation ON s_nationkey = n_nationkey"
+        " UNION ALL SELECT c_name, n_name"
+        "  FROM customer JOIN nation ON c_nationkey = n_nationkey"
+        " UNION ALL SELECT n_name, r_name"
+        "  FROM nation JOIN region ON n_regionkey = r_regionkey)",
+        "adj AS (SELECT src AS a, dst AS b FROM base_e WHERE src <> dst"
+        " UNION SELECT dst, src FROM base_e WHERE src <> dst)",
+        "nodes AS (SELECT DISTINCT a AS node FROM adj)",
+        "l0 AS (SELECT node, node AS label FROM nodes)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"v{r} AS (SELECT adj.b AS node, l.label, count(*) AS c"
+            f" FROM adj JOIN l{r - 1} l ON l.node = adj.a"
+            " GROUP BY adj.b, l.label)"
+        )
+        ctes.append(
+            f"l{r} AS (SELECT n.node, COALESCE(p.label, n.node) AS label"
+            " FROM nodes n LEFT JOIN ("
+            "  SELECT node, label FROM ("
+            "   SELECT node, label, row_number() OVER (PARTITION BY node"
+            f"    ORDER BY c DESC, label) AS rk FROM v{r}) WHERE rk = 1"
+            ") p ON p.node = n.node)"
+        )
+    return "WITH " + ", ".join(ctes) + f" SELECT node, label FROM l{rounds}"
 
 
 # mirrors ops/text.repetition_stats(n=2): token/bigram build, per-distinct-
@@ -3093,6 +3142,7 @@ def oracle_sql() -> dict[str, str]:
             "      WHEN lang = 'de' THEN '4000'"
             "      ELSE '199a' END"
         ),
+        "kg_communities": _duck_lpa(3),
         "event_props_stats": (
             "SELECT event_type, count(*)::BIGINT AS n_events,"
             " count(k)::BIGINT AS n_with_k, sum(k)::BIGINT AS sum_k,"

@@ -179,6 +179,55 @@ def pagerank_int(
     return ranks
 
 
+def label_propagation(edges: DataFrame, iterations: int = 3) -> DataFrame:
+    """(node, label): `iterations` rounds of SYNCHRONOUS label propagation
+    over the undirected simple graph — deterministic community detection.
+    Every node starts as its own label; each round it adopts the most
+    frequent label among its neighbors, ties broken by MINIMUM label.
+
+    Classic async LPA is run-order-dependent (its results are not even
+    reproducible run-to-run); this synchronous variant with an ordered
+    tie-break is a PURE FUNCTION of the edge set — exact integer vote
+    counts plus a (count desc, label asc) argmax — so the result is
+    hash-checkable cross-engine and the DuckDB oracle unrolls the same
+    rounds as CTEs (the pagerank_int pattern). Fixed `iterations` bounds
+    the work; labels after k rounds reflect k-hop majority structure,
+    which is what the dense-community use case reads.
+
+    Scale shape: per round ONE equi-join (adjacency x labels) + one
+    partial-aggregatable groupBy((node, label)) + one per-node window
+    argmax over the (node, label) vote rows — no label-set explosion
+    beyond the live vote counts; per-round lineage is cut with a lazy
+    localCheckpoint (the iterative-loop discipline)."""
+    adj = symmetrize(edges).localCheckpoint(eager=False)
+    nodes = adj.select(F.col("a").alias("node")).distinct().localCheckpoint(
+        eager=False
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("c").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        votes = (
+            adj.join(labels.withColumnRenamed("node", "a"), "a")
+            .groupBy(F.col("b").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        picked = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("node", F.col("label").alias("_new"))
+        )
+        labels = (
+            nodes.join(picked, "node", "left")
+            .select(
+                "node", F.coalesce(F.col("_new"), F.col("node")).alias("label")
+            )
+            .localCheckpoint(eager=False)
+        )
+    return labels
+
+
 def connected_components(edges: DataFrame) -> DataFrame:
     """(node, component): min-label weakly-connected components of the
     (src, dst) edge list — the graph-API face of the linking engine's

@@ -262,3 +262,55 @@ def test_pagerank_int_overflow_guard(spark):
         for r in pagerank_int(edges, scale=None, node_count=10**7).collect()
     }
     assert big == _brute_pagerank_int(pairs, scale=10**10)
+
+
+def _brute_lpa(edges, rounds=3):
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    labels = {v: v for v in adj}
+    for _ in range(rounds):
+        new = {}
+        for v in adj:
+            cnt = Counter(labels[u] for u in adj[v])
+            top = max(cnt.values())
+            new[v] = min(l for l, c in cnt.items() if c == top)
+        labels = new
+    return labels
+
+
+def test_label_propagation_matches_brute_force(spark):
+    import numpy as np
+
+    from openue_spark.ops.graph import label_propagation
+
+    for seed in (0, 1, 2):
+        rng = np.random.RandomState(seed)
+        edges = {
+            (int(a), int(b))
+            for a, b in rng.randint(0, 30, size=(60, 2))
+            if a != b
+        }
+        df = spark.createDataFrame(sorted(edges), "src long, dst long")
+        got = {r.node: r.label for r in label_propagation(df, 3).collect()}
+        assert got == _brute_lpa(edges), f"seed {seed}"
+
+
+def test_label_propagation_separates_two_cliques(spark):
+    """Two 4-cliques joined by a single bridge edge converge to two
+    communities labeled by each clique's min node."""
+    from openue_spark.ops.graph import label_propagation
+
+    cliq = lambda base: [  # noqa: E731
+        (base + i, base + j) for i in range(4) for j in range(i + 1, 4)
+    ]
+    edges = cliq(0) + cliq(10) + [(3, 10)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.label for r in label_propagation(df, 3).collect()}
+    assert got == _brute_lpa(set(edges))
+    assert {got[i] for i in range(4)} == {0}
+    assert {got[i] for i in range(10, 14)} == {10}
