@@ -208,14 +208,18 @@ def main() -> int:
             # both points 16-30% under their quiet-window bests after the
             # 2 fixed rounds, with each point's LAST draw still +10-22%
             # over its previous). Stop when the best stops moving, capped
-            # at 1 extra round per point by default (each pinned-JVM draw
-            # costs ~100 s wall and in both measured contended windows
-            # the SECOND extra draw never changed the converged best —
-            # the cap bounds the bench wall for timeout-limited callers;
-            # raise SPARK_GRAFT_STABILIZE_DRAWS to loosen it). The rule
-            # reads ONLY the point's own convergence — never eff, never
-            # the 0.8 bar — so it cannot select on the evidenced outcome.
-            n_stab = int(os.environ.get("SPARK_GRAFT_STABILIZE_DRAWS", "1"))
+            # at 2 extra rounds per point by default (each pinned-JVM draw
+            # costs ~100 s wall; the cap bounds the bench wall for
+            # timeout-limited callers). The cap was 1 through round 4f —
+            # then a round-4g run caught the 8-core point STILL CLIMBING
+            # when the cap stopped it (draws 268.9k -> 257.8k -> 297.6k:
+            # the single stabilization round improved the best >5%, i.e.
+            # unconverged by this rule's own test, and the loop was not
+            # allowed to continue). The cap is raised BEFORE seeing any
+            # number it would produce, and the rule still reads ONLY the
+            # point's own convergence — never eff, never the 0.8 bar — so
+            # it cannot select on the evidenced outcome.
+            n_stab = int(os.environ.get("SPARK_GRAFT_STABILIZE_DRAWS", "2"))
             for cores, iters in ((4 * n, 4), (n, 2)):
                 for _ in range(n_stab):
                     prev = best(cores)["triples_per_sec"]
