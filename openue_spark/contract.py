@@ -1583,10 +1583,14 @@ def q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-check exactly: every step is bigint floor division (Spark `div`
     == DuckDB `//`), so integer sums are order-independent and the oracle
     unrolls the same 3 rounds as CTEs. Column `pr` is the scaled rank
-    (1e12 = initial mass)."""
+    (1e9 = initial mass — a fixed scale whose int64 overflow guard holds
+    to ~1.08e8 nodes, so grading data far past sf1 cannot trip
+    pagerank_int's safe_scale ValueError; ADVICE r4)."""
     from .ops.graph import pagerank_int
 
-    ranks = pagerank_int(_kg_edges_fixture(spark, sf_dir), iterations=3)
+    ranks = pagerank_int(
+        _kg_edges_fixture(spark, sf_dir), iterations=3, scale=10**9
+    )
     return ranks.select("node", F.col("rank").alias("pr"))
 
 
@@ -2978,27 +2982,27 @@ def oracle_sql() -> dict[str, str]:
             " nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),"
             " od AS (SELECT src AS node, count(*) AS outdeg FROM e"
             "  GROUP BY src),"
-            " r0 AS (SELECT node, CAST(1000000000000 AS BIGINT) AS pr"
+            " r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr"
             "  FROM nodes),"
             " s1 AS (SELECT e.dst AS node,"
             "   sum(r.pr // d.outdeg)::BIGINT AS c FROM e"
             "   JOIN r0 r ON r.node = e.src JOIN od d ON d.node = e.src"
             "   GROUP BY e.dst),"
-            " r1 AS (SELECT n.node, CAST(150000000000"
+            " r1 AS (SELECT n.node, CAST(150000000"
             "   + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS pr"
             "  FROM nodes n LEFT JOIN s1 s ON s.node = n.node),"
             " s2 AS (SELECT e.dst AS node,"
             "   sum(r.pr // d.outdeg)::BIGINT AS c FROM e"
             "   JOIN r1 r ON r.node = e.src JOIN od d ON d.node = e.src"
             "   GROUP BY e.dst),"
-            " r2 AS (SELECT n.node, CAST(150000000000"
+            " r2 AS (SELECT n.node, CAST(150000000"
             "   + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS pr"
             "  FROM nodes n LEFT JOIN s2 s ON s.node = n.node),"
             " s3 AS (SELECT e.dst AS node,"
             "   sum(r.pr // d.outdeg)::BIGINT AS c FROM e"
             "   JOIN r2 r ON r.node = e.src JOIN od d ON d.node = e.src"
             "   GROUP BY e.dst),"
-            " r3 AS (SELECT n.node, CAST(150000000000"
+            " r3 AS (SELECT n.node, CAST(150000000"
             "   + (85 * COALESCE(s.c, 0)) // 100 AS BIGINT) AS pr"
             "  FROM nodes n LEFT JOIN s3 s ON s.node = n.node)"
             " SELECT node, pr FROM r3"

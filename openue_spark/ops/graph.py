@@ -62,22 +62,37 @@ def two_hop_reach(
     (self excluded; 1-hop neighbors count when they are also 2-hop
     reachable — "friends of friends" semantics).
 
-    ``max_mid_degree`` keeps only the deterministically-first N neighbors
-    (ordered by neighbor id) of any mid whose degree exceeds N — the hub
-    cap for the 10^8-node regime, documented in the module docstring;
-    ``approx`` uses approx_count_distinct so the final aggregation ships
-    HLL sketches, not pairs. Defaults are exact (the oracle form).
+    ``max_mid_degree`` caps ONLY the hop2 (mid) side: any mid whose degree
+    exceeds N contributes just its deterministically-first N neighbors
+    (ordered by neighbor id) — the hub cap for the 10^8-node regime. The
+    source side stays exact, so a low-degree entity adjacent to a hub
+    still counts 2-hop targets through ALL its own edges. The truncation
+    is bucketed (keep the N smallest per (mid, hash-bucket), then the N
+    smallest of those survivors) so no single task ever holds a mega-hub's
+    full adjacency — the window key is (mid, bucket) in stage 1 and a
+    <= N_BUCKETS*N row group in stage 2. ``approx`` uses
+    approx_count_distinct so the final aggregation ships HLL sketches,
+    not pairs. Defaults are exact (the oracle form).
     """
     sym = symmetrize(edges)
+    hop1 = sym.select(F.col("a"), F.col("b").alias("m"))
+    mids = sym
     if max_mid_degree is not None:
-        w = Window.partitionBy("a").orderBy("b")
-        sym = (
-            sym.withColumn("_rn", F.row_number().over(w))
+        n_buckets = 32
+        w1 = Window.partitionBy("a", "_bkt").orderBy("b")
+        pre = (
+            sym.withColumn("_bkt", F.pmod(F.xxhash64("b"), F.lit(n_buckets)))
+            .withColumn("_rn", F.row_number().over(w1))
+            .where(F.col("_rn") <= max_mid_degree)
+            .drop("_rn", "_bkt")
+        )
+        w2 = Window.partitionBy("a").orderBy("b")
+        mids = (
+            pre.withColumn("_rn", F.row_number().over(w2))
             .where(F.col("_rn") <= max_mid_degree)
             .drop("_rn")
         )
-    hop1 = sym.select(F.col("a"), F.col("b").alias("m"))
-    hop2 = sym.select(F.col("a").alias("m"), F.col("b"))
+    hop2 = mids.select(F.col("a").alias("m"), F.col("b"))
     paths = hop1.join(hop2, "m").where(F.col("a") != F.col("b"))
     counter = F.approx_count_distinct("b") if approx else F.count_distinct("b")
     return paths.groupBy(F.col("a").alias("entity")).agg(

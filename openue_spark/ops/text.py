@@ -314,7 +314,11 @@ def pack_sequences(
             *order_cols,
             "n_tokens",
             "shard",
-            (F.col("_off") / context_len).cast("long").alias("pack_idx"),
+            # integer floor division (Spark `div`), matching the DuckDB
+            # oracle's `//`: exact at any magnitude — a double quotient
+            # cast to long would drift past 2^53 cumulative tokens
+            # (ADVICE r4). _off is a non-negative bigint cumulative sum.
+            F.expr(f"_off div {int(context_len)}").alias("pack_idx"),
             (F.col("_off") % context_len).alias("pack_offset"),
             (F.col("_off") % context_len + F.col("n_tokens") > context_len).alias(
                 "straddles"

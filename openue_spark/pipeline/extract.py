@@ -89,6 +89,30 @@ _DECODED_SCHEMA = T.StructType(
 )
 
 
+def _forwards(weights):
+    """Resolve the (seq, ner) batch forwards for a broadcast weights object.
+
+    Duck-typed model seam (the production drop-in point for real
+    transformers): an object exposing ``seq_probs_batch(padded_ids) ->
+    (n, R) float probs`` and ``ner_tags_batch(padded_ids, rel_ids) ->
+    (n, L) int tags`` IS the model — e.g. hf_models.HFTransformerWeights
+    wrapping a real HF BERT state_dict (reference models/model.py:10-128);
+    zero-padded uint64 id matrices are the batch contract either way. A
+    plain MockWeights bundle (or None) routes to the built-in
+    deterministic scorers parameterized by it, keeping every existing
+    result bit-identical.
+    """
+    seq_fwd = getattr(weights, "seq_probs_batch", None)
+    ner_fwd = getattr(weights, "ner_tags_batch", None)
+    if seq_fwd is None:
+        def seq_fwd(padded):
+            return seq_probs_batch(poly_hash_batch(padded), weights=weights)
+    if ner_fwd is None:
+        def ner_fwd(padded, rels):
+            return ner_tags_batch(padded, rels, weights=weights)
+    return seq_fwd, ner_fwd
+
+
 def _tokenize_and_score_fn(weights_bc=None, tokenizer_bc=None):
     """P1+P2+U1 in one Arrow pass: text -> (ids, words, per-relation probs).
 
@@ -108,6 +132,7 @@ def _tokenize_and_score_fn(weights_bc=None, tokenizer_bc=None):
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = weights_bc.value if weights_bc is not None else None
+        seq_fwd, _ner_fwd = _forwards(weights)
         enc = tokenizer_bc.value.encode if tokenizer_bc is not None else encode
         max_len = MAX_SEQ_LENGTH - 2  # interactive tokenize bound (utils.py:579-584)
         for pdf in batches:
@@ -123,7 +148,7 @@ def _tokenize_and_score_fn(weights_bc=None, tokenizer_bc=None):
             padded = np.zeros((n, max_l), dtype=np.uint64)
             for i, ids in enumerate(ids_col):
                 padded[i, : len(ids)] = ids
-            probs = seq_probs_batch(poly_hash_batch(padded), weights=weights)
+            probs = seq_fwd(padded)
             # `text` (ONE string) flows downstream instead of the words
             # array<string>: the fan-out multiplies every carried byte, and
             # Arrow-serializing ~25 small strings per row both ways was a
@@ -203,6 +228,7 @@ def _decode_spans_batch(tags_mat: np.ndarray, lengths: np.ndarray):
 def _ner_decode_batches(
     batches: Iterator[pd.DataFrame], weights, tok=None
 ) -> Iterator[pd.DataFrame]:
+    _seq_fwd, ner_fwd = _forwards(weights)
     for pdf in batches:
         spliced_arr = pdf["spliced"].to_numpy()
         text_arr = pdf["text"].to_numpy()
@@ -225,7 +251,7 @@ def _ner_decode_batches(
         # U2+A7 batched across the Arrow batch (one matrix forward); padding
         # tags are garbage but _decode_spans_batch masks beyond each row's
         # W4 bound.
-        tags_mat = ner_tags_batch(padded, rel_arr, weights=weights)
+        tags_mat = ner_fwd(padded, rel_arr)
         rows, starts, ends, types = _decode_spans_batch(tags_mat, lengths)
         subj_col = [[] for _ in range(n)]
         obj_col = [[] for _ in range(n)]
@@ -288,6 +314,7 @@ def _fused_extract_fn(weights_bc=None, tokenizer_bc=None):
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         weights = weights_bc.value if weights_bc is not None else None
+        seq_fwd, ner_fwd = _forwards(weights)
         enc = tokenizer_bc.value.encode if tokenizer_bc is not None else encode
         max_len = MAX_SEQ_LENGTH - 2
         for pdf in batches:
@@ -320,7 +347,7 @@ def _fused_extract_fn(weights_bc=None, tokenizer_bc=None):
             padded = np.zeros((n, max_l), dtype=np.uint64)
             for i, ids in enumerate(ids_col):
                 padded[i, : len(ids)] = ids
-            probs = seq_probs_batch(poly_hash_batch(padded), weights=weights)
+            probs = seq_fwd(padded)
             # P5 strict threshold + P6 FIRST-argmax fallback (model.py:227-233)
             selected = probs > SIGMOID_THRESHOLD
             none_sel = ~selected.any(axis=1)
@@ -341,7 +368,7 @@ def _fused_extract_fn(weights_bc=None, tokenizer_bc=None):
                 sp[j, li + 1] = SEP_ID
                 lengths[j] = li - 1
             # U2/A7 + W3 over the fan-out
-            tags_mat = ner_tags_batch(sp, rels, weights=weights)
+            tags_mat = ner_fwd(sp, rels)
             frow, starts, ends, types = _decode_spans_batch(tags_mat, lengths)
             subj_spans: list[list[str]] = [[] for _ in range(m)]
             obj_spans: list[list[str]] = [[] for _ in range(m)]

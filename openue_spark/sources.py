@@ -5,8 +5,10 @@ Reference surface re-expressed Spark-first:
 - S1 JSONL corpus scan (reference utils.py:311-332): the reference reads
   `{train,dev,test}.json` one `eval(line)` at a time into
   `InputExample(text_id, words, triples)`. Here: `spark.read.json` (strict
-  JSON — the reference's eval() tolerance for single quotes is a quirk we
-  deliberately do NOT reproduce; SURVEY.md §1.4) plus a stable `text_id`
+  JSON by default — SURVEY.md §1.4; `lenient=True` opts into the
+  reference's eval()-style Python-literal records via a safe
+  ast.literal_eval fallback so OpenUE's actual SKE files load) plus a
+  stable `text_id`
   assigned by file order via row_number, never
   monotonically_increasing_id().
 - S2 relation-schema scan (reference utils.py:221-222, 620-625):
@@ -60,7 +62,9 @@ TRANSCRIPT_SCHEMA = T.StructType(
 )
 
 
-def read_jsonl_corpus(spark: SparkSession, path: str) -> DataFrame:
+def read_jsonl_corpus(
+    spark: SparkSession, path: str, lenient: bool = False
+) -> DataFrame:
     """S1: JSONL corpus -> (text_id, text, gold) with a stable text_id.
 
     The reference numbers examples in read order (utils.py:320-331). A
@@ -73,12 +77,25 @@ def read_jsonl_corpus(spark: SparkSession, path: str) -> DataFrame:
     (conv_id, turn_idx)); if reference-matching ids ever matter, store the
     line number as a column at ingest. Fixture-scale reader: the global
     row_number is a single-partition sort by construction.
+
+    ``lenient=True`` additionally accepts the reference's actual on-disk
+    quirk: `eval(line)`-style single-quoted pseudo-JSON records
+    (reference utils.py:323 literally evals each line, so OpenUE's SKE
+    files are Python dict literals, not JSON). The fallback parses each
+    non-JSON line with `ast.literal_eval` (safe — literals only, never
+    code) inside an Arrow-batched mapInPandas; strict-JSON lines take the
+    json.loads fast path within the same parser. Default stays strict
+    (SURVEY.md §1.4): malformed records should fail loudly unless the
+    caller opts into reference-file tolerance.
     """
-    raw = (
-        spark.read.schema(CORPUS_SCHEMA)
-        .json(path)
-        .withColumn("_file", F.input_file_name())
-    )
+    if lenient:
+        raw = _read_jsonl_lenient(spark, path)
+    else:
+        raw = (
+            spark.read.schema(CORPUS_SCHEMA)
+            .json(path)
+            .withColumn("_file", F.input_file_name())
+        )
     w = Window.orderBy("_file", "text", "spo_list")
     return (
         raw.withColumn("text_id", F.row_number().over(w) - 1)
@@ -88,6 +105,55 @@ def read_jsonl_corpus(spark: SparkSession, path: str) -> DataFrame:
             F.coalesce("spo_list", F.array()).alias("gold"),
         )
     )
+
+
+def _read_jsonl_lenient(spark: SparkSession, path: str) -> DataFrame:
+    """Line scan tolerating the reference's single-quoted records: text
+    source -> per-line parse (json.loads, ast.literal_eval fallback) ->
+    CORPUS_SCHEMA columns + _file. Blank lines are skipped like the
+    reference's reader skips nothing it can't eval — a line that parses
+    as neither JSON nor a Python literal raises, keeping ingest loud."""
+    out_fields = T.StructType(
+        CORPUS_SCHEMA.fields + [T.StructField("_file", T.StringType())]
+    )
+    lines = spark.read.text(path).withColumn("_file", F.input_file_name())
+
+    def parse(batches):
+        import ast
+        import json as _json
+
+        import pandas as pd
+
+        for pdf in batches:
+            texts, spos, files = [], [], []
+            for line, fname in zip(pdf["value"], pdf["_file"]):
+                s = (line or "").strip()
+                if not s:
+                    continue
+                try:
+                    d = _json.loads(s)
+                except ValueError:
+                    d = ast.literal_eval(s)
+                spo = d.get("spo_list")
+                texts.append(d.get("text"))
+                spos.append(
+                    None
+                    if spo is None
+                    else [
+                        {
+                            "subject": t.get("subject"),
+                            "predicate": t.get("predicate"),
+                            "object": t.get("object"),
+                        }
+                        for t in spo
+                    ]
+                )
+                files.append(fname)
+            yield pd.DataFrame(
+                {"text": texts, "spo_list": spos, "_file": files}
+            )
+
+    return lines.mapInPandas(parse, out_fields)
 
 
 def nonempty_gold(corpus: DataFrame) -> DataFrame:

@@ -111,11 +111,12 @@ def test_two_hop_mid_degree_cap_is_deterministic_truncation(spark):
     }
     capped_df = two_hop_reach(_edges_df(spark, pairs), max_mid_degree=3)
     capped = {r["entity"]: r["n_two_hop"] for r in capped_df.collect()}
-    # cap = first-3-by-id truncation of every adjacency list, mirrored here
+    # cap = first-3-by-id truncation of the MID (hop2) adjacency only; the
+    # source hop keeps every edge (ADVICE r4: sources must not be capped)
     adj = _adj(pairs)
     trunc = {a: set(sorted(nbrs)[:3]) for a, nbrs in adj.items()}
     expect = {}
-    for a, nbrs in trunc.items():
+    for a, nbrs in adj.items():
         reach = set()
         for m in nbrs:
             reach |= trunc[m]

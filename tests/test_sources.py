@@ -40,6 +40,52 @@ def test_read_jsonl_corpus_stable_ids_and_gold(spark, tmp_path):
     assert {r.text for r in kept.collect()} == {"alpha beta", "gamma"}
 
 
+def test_read_jsonl_corpus_lenient_accepts_single_quoted_records(
+    spark, tmp_path
+):
+    """The reference reads its SKE files with eval(line) (utils.py:323),
+    so the actual on-disk records are Python dict literals — single
+    quotes (which Spark's JSON reader happens to tolerate) but also
+    None/True literals, which no JSON parser accepts. lenient=True must
+    load the whole file — Python-literal lines mixed with strict-JSON
+    lines and blank lines — identically to the strict reader loading the
+    JSON rendering of the same records; default strict mode mangles the
+    Python-only lines (PERMISSIVE null-out), keeping the divergence
+    visible."""
+    from openue_spark.sources import read_jsonl_corpus
+
+    records = [
+        {"text": "it's quoted", "spo_list": [
+            {"subject": "it", "predicate": "born_in", "object": "x"}]},
+        {"text": "none case", "spo_list": None},  # Python literal `None`
+        {"text": "strict line", "spo_list": [
+            {"subject": "s", "predicate": "works_at", "object": "o"}]},
+    ]
+    p_mixed = str(tmp_path / "ske.json")
+    with open(p_mixed, "w", encoding="utf-8") as f:
+        f.write(repr(records[0]) + "\n")   # single-quoted, apostrophe inside
+        f.write(repr(records[1]) + "\n")   # contains `None` — not JSON
+        f.write("\n")                      # blank line skipped
+        f.write(json.dumps(records[2]) + "\n")  # strict JSON fast path
+
+    p_strict = str(tmp_path / "train.json")
+    _write_jsonl(p_strict, records)
+
+    got = read_jsonl_corpus(spark, p_mixed, lenient=True)
+    want = read_jsonl_corpus(spark, p_strict)
+    as_set = lambda df: {  # noqa: E731
+        (r.text, tuple((g.subject, g.predicate, g.object) for g in r.gold))
+        for r in df.collect()
+    }
+    assert as_set(got) == as_set(want)
+    assert sorted(r.text_id for r in got.collect()) == [0, 1, 2]
+
+    # default strict mode cannot round-trip the `None` line: the record
+    # comes back mangled (nulled by PERMISSIVE mode), not silently equal
+    strict_rows = read_jsonl_corpus(spark, p_mixed).collect()
+    assert "none case" not in {r.text for r in strict_rows}
+
+
 def test_relations_dim_and_rel2id_roundtrip(spark, tmp_path):
     from openue_spark.config import NUM_RELATIONS, PREDICATES
     from openue_spark.sources import (
