@@ -1267,6 +1267,59 @@ def q_streaming_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_streaming_event_rates_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked APPEND-mode streaming: the same tumbling per-event-type
+    counts as streaming_event_rates, but emitted the way a production
+    late-data pipeline emits them — append sink + 10-minute watermark, so
+    only windows the final watermark has CLOSED reach the sink.
+    availableNow's trailing no-data micro-batch advances the watermark to
+    floor_ms(max event ts) - 10min and flushes every closed window; the
+    DuckDB oracle restates exactly that closure rule
+    (win_end <= ms-floored max(ts) - 10min). The complete-mode row keeps
+    the full-coverage check; this row pins the append/watermark semantics
+    where the withheld tail is the SPEC, mirrored by the oracle (the
+    round-4 gotcha, inverted). The driver parquet's ts is TIMESTAMP_NTZ
+    and withWatermark requires an instant, so the stream watermarks on
+    timestamp_micros(epoch_us(ts)) — tz-independent on both engines."""
+    from .ops.temporal import epoch_us
+    from .streaming import windowed_rates
+
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    stream = stream.withColumn(
+        "ts_i", F.timestamp_micros(epoch_us(stream, "ts"))
+    )
+    rates = windowed_rates(
+        stream,
+        ts_col="ts_i",
+        key_col="event_type",
+        window="10 minutes",
+        watermark="10 minutes",
+        count_alias="n_events",
+    )
+    _STREAM_SINK_SEQ[0] += 1
+    sink = f"streaming_append_{_STREAM_SINK_SEQ[0]}"
+    spark.catalog.dropTempView(f"streaming_append_{_STREAM_SINK_SEQ[0] - 1}")
+    q = (
+        rates.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.table(sink)
+    return out.select(
+        F.unix_micros("win_start").alias("win_start_us"),
+        "event_type",
+        "n_events",
+    )
+
+
 def q_event_type_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distinct-agg + ordered-analytics breadth: per (day, event_type) the
     exact distinct-user count and exact interpolated value percentiles.
@@ -1882,6 +1935,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # a threshold grid over the SAME evaluate.py code path that
         # a6_multilabel_prf_by_relation keeps head-checked at one
         # threshold. ----
+        # streaming_event_rates_append (r5): append-sink + watermark
+        # closure semantics; the complete-mode row stays the head check of
+        # the same windowed-agg code path
+        "streaming_event_rates_append": q_streaming_event_rates_append,
         "a6_threshold_sweep": q_a6_threshold_sweep,
         "ann_ivf_topk": q_ann_ivf_topk,
         "embedding_near_dup": q_embedding_near_dup,
@@ -3113,6 +3170,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT epoch_us(time_bucket(INTERVAL '10 minutes', ts))"
             " AS win_start_us, event_type, count(*) AS n_events"
             " FROM events GROUP BY win_start_us, event_type"
+        ),
+        "streaming_event_rates_append": (
+            # closed-window restatement of the watermarked append stream:
+            # the final watermark is floor-to-ms(max event ts) - 10min
+            # (Spark tracks watermarks in milliseconds), and append mode
+            # emits exactly the windows whose end the watermark passed
+            "WITH wm AS (SELECT (max(epoch_us(ts)) // 1000) * 1000"
+            "  - 600000000 AS wm_us FROM events),"
+            " b AS (SELECT epoch_us(time_bucket(INTERVAL '10 minutes', ts))"
+            "  AS win_start_us, event_type FROM events)"
+            " SELECT win_start_us, event_type, count(*)::BIGINT AS n_events"
+            " FROM b, wm WHERE win_start_us + 600000000 <= wm.wm_us"
+            " GROUP BY win_start_us, event_type"
         ),
         "event_type_daily_stats": (
             "WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day_idx,"

@@ -194,6 +194,62 @@ def test_streaming_windowed_rates_equal_batch(spark, tmp_path):
     assert got == want and len(got) > 0
 
 
+def test_streaming_append_watermark_emits_exactly_closed_windows(
+    spark, tmp_path
+):
+    """Watermarked APPEND mode == the batch aggregation restricted to
+    CLOSED windows: availableNow's trailing no-data micro-batch advances
+    the watermark to floor_ms(max event ts) - delay and flushes every
+    window whose end the watermark passed — nothing more (the open tail
+    stays withheld, by spec) and nothing less. This is the stream==batch
+    pin behind the driver's streaming_event_rates_append oracle row."""
+    from openue_spark.fixtures import transcripts_spark
+    from openue_spark.ops.temporal import epoch_us
+    from openue_spark.streaming import windowed_rates
+    from pyspark.sql import functions as F
+
+    turn_dir = str(tmp_path / "turns")
+    # fixture turns tick 1s apart: 2000 turns ≈ 33 min — several fully
+    # closed 10-minute windows plus an open tail the watermark withholds
+    transcripts_spark(spark, 2_000, partitions=2).write.parquet(turn_dir)
+    batch_df = spark.read.parquet(turn_dir)
+    stream_df = spark.readStream.schema(batch_df.schema).parquet(turn_dir)
+
+    def instant(df):
+        # ts reads back as TIMESTAMP_NTZ; withWatermark needs an instant
+        return df.withColumn("ts_i", F.timestamp_micros(epoch_us(df, "ts")))
+
+    q = (
+        windowed_rates(
+            instant(stream_df), "ts_i", "role",
+            window="10 minutes", watermark="10 minutes",
+        )
+        .writeStream.format("memory")
+        .queryName("win_rates_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(300)
+    got = {
+        (r.win_start, r.role): r.n_rows
+        for r in spark.table("win_rates_append").collect()
+    }
+
+    b = instant(batch_df)
+    max_us = b.agg(F.max(F.unix_micros("ts_i"))).collect()[0][0]
+    wm_us = (max_us // 1000) * 1000 - 600_000_000
+    closed = windowed_rates(
+        b, "ts_i", "role", window="10 minutes", watermark=None
+    ).where(F.unix_micros("win_end") <= F.lit(wm_us))
+    want = {(r.win_start, r.role): r.n_rows for r in closed.collect()}
+    all_windows = windowed_rates(
+        b, "ts_i", "role", window="10 minutes", watermark=None
+    ).count()
+    assert got == want and len(got) > 0
+    assert len(got) < all_windows  # the open tail really was withheld
+
+
 @pytest.mark.slow
 def test_stream_fold_sink_continuous_kg_maintenance(spark, tmp_path):
     """Micro-batches folded into a persisted KG must reproduce the graph a
