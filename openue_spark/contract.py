@@ -1409,7 +1409,7 @@ def q_link_blocking_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.linking import candidate_pairs_banded
 
     pairs = candidate_pairs_banded(
-        _mention_fixture(spark, sf_dir), jaccard_distance=0.6
+        _mention_fixture(spark, sf_dir), jaccard_distance=0.6, portable=True
     )
     return pairs.select(
         F.col("a_id").alias("a_mention"),
@@ -1422,7 +1422,7 @@ def q_link_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.linking import candidate_pairs_banded, connected_components
 
     mentions = _mention_fixture(spark, sf_dir)
-    edges = candidate_pairs_banded(mentions, jaccard_distance=0.6).select(
+    edges = candidate_pairs_banded(mentions, jaccard_distance=0.6, portable=True).select(
         "a_id", "b_id"
     )
     # strict + generous cap: the DuckDB oracle computes the EXACT closure,
@@ -1462,7 +1462,7 @@ def q_link_increment_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     plants = toks.select(
         F.concat(F.col("mention"), F.lit("s")).alias("mention")
     ).withColumn("mention_id", F.col("mention"))
-    edges1 = candidate_pairs_banded(toks, jaccard_distance=0.6).select("a_id", "b_id")
+    edges1 = candidate_pairs_banded(toks, jaccard_distance=0.6, portable=True).select("a_id", "b_id")
     prior = canonicalize(
         toks, connected_components(toks, edges1, max_iterations=50, strict=True)
     )
@@ -1473,6 +1473,7 @@ def q_link_increment_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_cosine=None,
         max_bucket=None,
         strict=True,
+        portable=True,  # the DuckDB oracle replays the md5 banding
     )
     return mapping.select("mention", "canonical")
 
@@ -1486,7 +1487,7 @@ def q_link_pairwise_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.linking import candidate_pairs_banded, connected_components
 
     mentions = _mention_fixture(spark, sf_dir)
-    edges = candidate_pairs_banded(mentions, jaccard_distance=0.6).select(
+    edges = candidate_pairs_banded(mentions, jaccard_distance=0.6, portable=True).select(
         "a_id", "b_id"
     )
     labels = connected_components(mentions, edges, max_iterations=50, strict=True)
@@ -1812,7 +1813,7 @@ def q_link_canonical_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     mentions = _mention_fixture(spark, sf_dir)
-    edges = candidate_pairs_banded(mentions, jaccard_distance=0.6).select(
+    edges = candidate_pairs_banded(mentions, jaccard_distance=0.6, portable=True).select(
         "a_id", "b_id"
     )
     labels = connected_components(

@@ -58,7 +58,10 @@ def _corpus(docs: DataFrame) -> DataFrame:
 
 
 def with_shingles(corpus: DataFrame, k: int = 3) -> DataFrame:
-    """Word k-gram shingle set per doc (whole token list if < k tokens)."""
+    """Word k-gram shingle STRING set per doc (whole token list if < k
+    tokens) — the engine-portable (DuckDB-replayable) shingle form the
+    oracle-checked portable mode keeps. The production fast path never
+    materializes these strings (see with_shingle_hashes)."""
     return corpus.withColumn(
         "shingles",
         F.array_distinct(
@@ -70,27 +73,62 @@ def with_shingles(corpus: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def with_shingle_hashes(corpus: DataFrame, k: int = 3) -> DataFrame:
+    """``sh``: int64-hashed word k-gram shingle set per doc — the
+    DE-STRINGED production shingle path (VERDICT r4 item 2). Each token is
+    xxhash64'd ONCE; a k-gram's hash is xxhash64 over the bigint slice of
+    token hashes, so no per-k-gram ``concat_ws`` string (and no shingle
+    string at all) is ever materialized — the k-gram pass is pure bigint
+    arithmetic over ~8 bytes/token instead of re-copying ~k*avg_token_len
+    string bytes per position, which is what pinned the dedup tier to the
+    single-socket bandwidth knee (BASELINE.md round-4g).
+
+    The token-hash array is LET-BOUND via a single-element transform
+    (`transform(array(<token pass>), th -> ...)`): CollapseProject would
+    otherwise inline the token pass into the k-gram lambda and re-hash the
+    whole token array once per position — the same 14x/32x collapse trap
+    documented for simhash/linking payloads. 64-bit collisions merge
+    shingles at ~n^2/2^64 within a document — immaterial, and every drop
+    decision downstream still goes through an exact verify."""
+    expr = (
+        "element_at(transform(array(transform(tokens, t -> xxhash64(t))),"
+        f" th -> array_distinct(transform("
+        f"sequence(1, greatest(size(th) - {k - 1}, 1)),"
+        f" i -> xxhash64(slice(th, i, {k}))))), 1)"
+    )
+    return corpus.withColumn("sh", F.expr(expr))
+
+
 def with_minhash_signature(
     shingled: DataFrame, n_hashes: int = N_HASHES, portable: bool = False
 ) -> DataFrame:
-    """sig_i = min over shingles of hash(shingle || '#i') — per-row, no
-    shuffle. Two hash modes, identical LSH statistics:
+    """sig_i = min over shingles of hash(shingle, i) — per-row, no
+    shuffle. Two modes, identical LSH statistics:
 
-    - default (portable=False): native ``xxhash64`` BIGINT sigs — no hex
-      strings, no crypto rounds; measured 2.8x faster than md5 on the
-      signature stage (5.96 -> 2.14 s over 720k docs @8 pinned cores) and
-      the production default.
-    - portable=True: md5 hex-string sigs, bit-replayable in DuckDB — the
-      mode the hash-checked contract rows pin (an ENGINE-PORTABLE hash is
-      an oracle requirement, not an LSH one).
+    - default (portable=False): expects the int64 ``sh`` column
+      (with_shingle_hashes); sig_i = min of variadic ``xxhash64(h, i)``
+      over the shingle hashes — BIGINT in, BIGINT out, zero string
+      traffic. (The r4 fast path still hashed shingle STRINGS; measured
+      2.8x over md5 then — this removes the string bytes entirely.)
+    - portable=True: md5 hex-string sigs over the ``shingles`` strings,
+      bit-replayable in DuckDB — the mode the hash-checked contract rows
+      pin (an ENGINE-PORTABLE hash is an oracle requirement, not an LSH
+      one).
     """
-    fn = "md5" if portable else "xxhash64"
-    sigs = [
-        F.expr(f"array_min(transform(shingles, s -> {fn}(concat(s, '#{i}'))))").alias(
-            f"sig{i}"
-        )
-        for i in range(n_hashes)
-    ]
+    if portable:
+        sigs = [
+            F.expr(
+                f"array_min(transform(shingles, s -> md5(concat(s, '#{i}'))))"
+            ).alias(f"sig{i}")
+            for i in range(n_hashes)
+        ]
+    else:
+        sigs = [
+            F.expr(f"array_min(transform(sh, h -> xxhash64(h, {i})))").alias(
+                f"sig{i}"
+            )
+            for i in range(n_hashes)
+        ]
     return shingled.select("*", *sigs)
 
 
@@ -138,7 +176,9 @@ def _barrier(df: DataFrame) -> DataFrame:
 
 def minhash_candidate_pairs(docs: DataFrame, portable: bool = False) -> DataFrame:
     """LSH blocking: docs sharing any band hash -> distinct (a_id, b_id)."""
-    return _minhash_candidates_from(with_shingles(_corpus(docs)), portable=portable)
+    corpus = _corpus(docs)
+    shingled = with_shingles(corpus) if portable else with_shingle_hashes(corpus)
+    return _minhash_candidates_from(shingled, portable=portable)
 
 
 def _minhash_candidates_from(shingled: DataFrame, portable: bool = False) -> DataFrame:
@@ -178,14 +218,32 @@ def minhash_verified_pairs(
     docs: DataFrame, min_jaccard: float = 0.6, portable: bool = False
 ) -> DataFrame:
     """LSH candidates verified with exact shingle-set Jaccard. `portable`
-    picks the signature hash (with_minhash_signature): candidate recall is
-    statistically identical either way and VERIFICATION is exact, so both
-    modes return true >= min_jaccard pairs — only the candidate sampling
-    differs; the oracle-checked contract rows pin portable=True."""
-    shingled = _barrier(with_shingles(_corpus(docs)).select("doc_id", "shingles"))
+    picks the shingle/signature hashing (with_shingle_hashes /
+    with_minhash_signature): candidate recall is statistically identical
+    either way and VERIFICATION is exact, so both modes return true
+    >= min_jaccard pairs — only the candidate sampling differs; the
+    oracle-checked contract rows pin portable=True.
+
+    The verify intersect runs over the int64 shingle hashes in BOTH modes
+    (array<bigint> ships and compares ~3x cheaper than array<string>;
+    Jaccard over hashed sets equals Jaccard over the string sets absent a
+    64-bit collision inside one pair's union — ~1e-16 per pair — so the
+    DuckDB oracle's string-set Jaccard still matches bit-for-bit after
+    the shared round-to-4)."""
+    corpus = _corpus(docs)
+    if portable:
+        shingled = _barrier(
+            with_shingles(corpus).select(
+                "doc_id",
+                "shingles",
+                F.expr("transform(shingles, s -> xxhash64(s))").alias("sh"),
+            )
+        )
+    else:
+        shingled = _barrier(with_shingle_hashes(corpus).select("doc_id", "sh"))
     pairs = _minhash_candidates_from(shingled, portable=portable)
-    sa = shingled.select(F.col("doc_id").alias("a_id"), F.col("shingles").alias("sh_a"))
-    sb = shingled.select(F.col("doc_id").alias("b_id"), F.col("shingles").alias("sh_b"))
+    sa = shingled.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    sb = shingled.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
     return (
         pairs.join(sa, "a_id")
         .join(sb, "b_id")
@@ -338,10 +396,17 @@ def ngram_jaccard_pairs(
     for pairs whose overlap is mostly hot shingles (a pair sharing nothing
     but stopword trigrams is not a near-duplicate). The df pass is one
     count over the shingle key — same key, same partitioning as the join
-    that follows; work per hot shingle is O(df), never O(df^2)."""
+    that follows; work per hot shingle is O(df), never O(df^2).
+
+    The inverted index keys on the int64 shingle HASH, not the shingle
+    string (with_shingle_hashes): the exploded index and both self-join
+    shuffles ship ~8 bytes/key instead of the k-gram string, and shared
+    COUNTS over hashed sets equal counts over string sets absent a 64-bit
+    collision within one document pair (~1e-16) — so the DuckDB oracle's
+    string-keyed restatement still matches exactly."""
     shingled = _barrier(
-        with_shingles(_corpus(docs)).select(
-            "doc_id", "shingles", F.size("shingles").alias("n_sh")
+        with_shingle_hashes(_corpus(docs)).select(
+            "doc_id", F.col("sh").alias("shingles"), F.size("sh").alias("n_sh")
         )
     )
     inv = shingled.select("doc_id", "n_sh", F.explode("shingles").alias("shingle"))

@@ -168,37 +168,88 @@ def _shingled_mentions(mentions: DataFrame) -> DataFrame:
     return out if out.isStreaming else out.localCheckpoint(eager=False)
 
 
-def _sig_cols(n_hashes: int) -> list:
-    """Per-hash minhash columns over a `shingles` column (the one md5
-    scheme every blocker and the stored state share)."""
+def _shingle_hashed_mentions(mentions: DataFrame) -> DataFrame:
+    """(mention_id, mention, sh): int64-hashed char-3-gram shingle set per
+    mention — the DE-STRINGED production feature source (VERDICT r4 item
+    2 applied to linking). Each 3-gram is xxhash64'd in place of the
+    substring array, so neither the shingle strings nor the 16 md5 hex
+    sigs per shingle are ever materialized; everything downstream
+    (signatures, band hashes, verify intersects) is bigint arithmetic.
+    `sh` is BIT-IDENTICAL to `_hashed_shingles(_shingled_mentions(...))`
+    — xxhash64 of the same distinct substrings in the same first-seen
+    order (64-bit collisions inside one mention: ~1e-17) — so the stored
+    mention_state's verify column is the same in both hash modes.
+    Barriered like _shingled_mentions (the array feeds signatures AND the
+    verify payload; see ops.dedup._barrier)."""
+    out = mentions.select(
+        "mention_id",
+        "mention",  # hot-bucket chunk sort key; pruned where unreferenced
+        F.array_distinct(
+            F.expr(
+                "transform(sequence(1, greatest(1, length(mention) - 2)),"
+                " i -> xxhash64(substring(mention, i, 3)))"
+            )
+        ).alias("sh"),
+    )
+    return out if out.isStreaming else out.localCheckpoint(eager=False)
+
+
+def _sig_cols(n_hashes: int, portable: bool = False) -> list:
+    """Per-hash minhash columns. portable=True: md5 hex strings over the
+    `shingles` strings — bit-replayable in DuckDB, the mode the
+    hash-checked link oracle rows pin. Default: variadic xxhash64 over
+    the int64 `sh` hashes — the production mode (no hex strings, no
+    crypto rounds; identical LSH statistics, and the exact-Jaccard verify
+    keeps false positives out either way)."""
+    if portable:
+        return [
+            F.expr(
+                f"array_min(transform(shingles, s -> md5(concat(s, '#{i}'))))"
+            ).alias(f"sig{i}")
+            for i in range(n_hashes)
+        ]
     return [
-        F.expr(f"array_min(transform(shingles, s -> md5(concat(s, '#{i}'))))").alias(f"sig{i}")
+        F.expr(f"array_min(transform(sh, h -> xxhash64(h, {i})))").alias(f"sig{i}")
         for i in range(n_hashes)
     ]
 
 
-def _band_hash_exprs(n_hashes: int, n_bands: int) -> list:
-    """Band-hash columns (one per band) over the sig{i} columns."""
+def _band_hash_exprs(n_hashes: int, n_bands: int, portable: bool = False) -> list:
+    """Band-hash columns (one per band) over the sig{i} columns: md5 over
+    a '|'-joined string in portable mode, variadic xxhash64 over the
+    BIGINT sigs (zero string materialization) in production mode."""
     rows_per_band = n_hashes // n_bands
-    return [
-        F.md5(
-            F.concat_ws(
-                "|",
-                *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)],
+    if portable:
+        return [
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)],
+                )
             )
+            for b in range(n_bands)
+        ]
+    return [
+        F.xxhash64(
+            *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
         )
         for b in range(n_bands)
     ]
 
 
-def _banded_signatures(shingled: DataFrame, n_hashes: int, n_bands: int) -> DataFrame:
+def _banded_signatures(
+    shingled: DataFrame, n_hashes: int, n_bands: int, portable: bool = False
+) -> DataFrame:
     """(mention_id[, mention], band_id, band_hash): minhash sigs folded into
     band hashes and exploded one row per band (shared blocking
     construction). `mention` rides along when the source carries it — the
-    hot-bucket chunk sort key needs it; pruned where unreferenced."""
+    hot-bucket chunk sort key needs it; pruned where unreferenced.
+    `shingled` carries `shingles` strings in portable mode
+    (_shingled_mentions) and the int64 `sh` in production mode
+    (_shingle_hashed_mentions)."""
     extra = ["mention"] if "mention" in shingled.columns else []
-    sigs = shingled.select("mention_id", *extra, *_sig_cols(n_hashes))
-    bands = _band_hash_exprs(n_hashes, n_bands)
+    sigs = shingled.select("mention_id", *extra, *_sig_cols(n_hashes, portable))
+    bands = _band_hash_exprs(n_hashes, n_bands, portable)
     return sigs.select(
         "mention_id",
         *extra,
@@ -213,29 +264,48 @@ def _banded_signatures(shingled: DataFrame, n_hashes: int, n_bands: int) -> Data
     ).select("mention_id", *extra, "bh.band_id", "bh.band_hash")
 
 
-def mention_state(mentions: DataFrame, n_hashes: int = 16, n_bands: int = 8) -> DataFrame:
+def mention_state(
+    mentions: DataFrame,
+    n_hashes: int = 16,
+    n_bands: int = 8,
+    portable: bool = False,
+) -> DataFrame:
     """Persistable per-mention linking features — the stored state that
     makes incremental folds sublinear in corpus size:
 
-      (mention, mention_id, band_hashes array<string>,
+      (mention, mention_id, band_hashes array<bigint|string>,
        sh array<bigint>, n_sh, embedding array<double>)
 
-    band_hashes[b] is EXACTLY _banded_signatures' band_hash for band b
-    (shared column builders — pinned by test), sh/n_sh mirror
-    _hashed_shingles, embedding mirrors embed_mentions. INVARIANT: a
-    stored state table accompanies a mapping covering the same mention
-    set, built with the same (n_hashes, n_bands). Every feature is a pure
-    function of the mention string, so state never goes stale — an
+    band_hashes[b] is EXACTLY _banded_signatures' band_hash for band b in
+    the same `portable` mode (shared column builders — pinned by test);
+    sh/n_sh are the int64-hashed shingles (identical in BOTH modes — see
+    _shingle_hashed_mentions), embedding mirrors embed_mentions.
+    INVARIANT: a stored state table accompanies a mapping covering the
+    same mention set, built with the same (n_hashes, n_bands, portable) —
+    the hash MODE is part of the state's identity (bigint xxhash64 bands
+    in production, md5 hex strings under portable=True), so a fold must
+    run in the mode its prior state was built with. Every feature is a
+    pure function of the mention string, so state never goes stale — an
     increment only APPENDS rows for fresh mentions.
     """
-    shingled = _shingled_mentions(mentions)
-    sigs = shingled.select("mention_id", "shingles", *_sig_cols(n_hashes))
-    feat = sigs.select(
-        "mention_id",
-        F.array(*_band_hash_exprs(n_hashes, n_bands)).alias("band_hashes"),
-        F.expr("transform(shingles, s -> xxhash64(s))").alias("sh"),
-        F.size("shingles").alias("n_sh"),
-    )
+    if portable:
+        shingled = _shingled_mentions(mentions)
+        sigs = shingled.select("mention_id", "shingles", *_sig_cols(n_hashes, True))
+        feat = sigs.select(
+            "mention_id",
+            F.array(*_band_hash_exprs(n_hashes, n_bands, True)).alias("band_hashes"),
+            F.expr("transform(shingles, s -> xxhash64(s))").alias("sh"),
+            F.size("shingles").alias("n_sh"),
+        )
+    else:
+        shingled = _shingle_hashed_mentions(mentions)
+        sigs = shingled.select("mention_id", "sh", *_sig_cols(n_hashes, False))
+        feat = sigs.select(
+            "mention_id",
+            F.array(*_band_hash_exprs(n_hashes, n_bands, False)).alias("band_hashes"),
+            F.col("sh"),
+            F.size("sh").alias("n_sh"),
+        )
     return embed_mentions(mentions).join(feat, "mention_id").select(
         "mention", "mention_id", "band_hashes", "sh", "n_sh", "embedding"
     )
@@ -257,6 +327,7 @@ def candidate_pairs_banded(
     jaccard_distance: float = 0.6,
     n_hashes: int = 16,
     n_bands: int = 8,
+    portable: bool = False,
 ) -> DataFrame:
     """Banded-MinHash blocking in pure column expressions (the scale path;
     same algorithm as ops.dedup, char-3-gram shingles).
@@ -276,9 +347,20 @@ def candidate_pairs_banded(
     ~13% faster end-to-end at sandbox scale, and the plan is fully
     Catalyst-visible/AQE-tunable. Returns (a_id, b_id, jaccard_dist) like
     `candidate_pairs`.
+
+    `portable=True` switches the signature family to the md5-over-string
+    scheme the DuckDB link oracles replay (the hash-checked contract rows
+    pin it); the default is the de-stringed xxhash64 path — identical LSH
+    statistics, exact verify either way, only the candidate sampling
+    differs.
     """
-    shingled = _shingled_mentions(mentions)
-    banded = _banded_signatures(shingled, n_hashes, n_bands)
+    if portable:
+        shingled = _shingled_mentions(mentions)
+        hashed = _hashed_shingles(shingled)
+    else:
+        shingled = _shingle_hashed_mentions(mentions)
+        hashed = shingled.select("mention_id", "sh", F.size("sh").alias("n_sh"))
+    banded = _banded_signatures(shingled, n_hashes, n_bands, portable)
     a = banded.select(F.col("mention_id").alias("a_id"), "band_id", "band_hash")
     b = banded.select(F.col("mention_id").alias("b_id"), "band_id", "band_hash")
     # No distinct here: deduping 3.4M+ raw collisions is a full shuffle,
@@ -292,7 +374,7 @@ def candidate_pairs_banded(
         .select("a_id", "b_id")
     )
     return (
-        _jaccard_verify(cand, _hashed_shingles(shingled), jaccard_distance)
+        _jaccard_verify(cand, hashed, jaccard_distance)
         .select("a_id", "b_id", "jaccard_dist")
         .dropDuplicates(["a_id", "b_id"])
     )
@@ -506,10 +588,13 @@ def candidate_edges(
     """
     if n_mentions is None:
         n_mentions = mentions.count()
-    shingled = _shingled_mentions(mentions)
+    # de-stringed production feature source (see _shingle_hashed_mentions):
+    # int64 shingle hashes feed both the xxhash64 band signatures and the
+    # verify intersects — no shingle strings, no md5 hex sigs
+    shingled = _shingle_hashed_mentions(mentions)
     return _fused_edges(
         _banded_signatures(shingled, n_hashes, n_bands),
-        _hashed_shingles(shingled),
+        shingled.select("mention_id", "sh", F.size("sh").alias("n_sh")),
         embedded,
         jaccard_distance,
         min_cosine,
@@ -1099,6 +1184,7 @@ def incremental_canonical_mapping(
     max_iterations: int = 50,
     strict: bool = False,
     prior_state: DataFrame | None = None,
+    portable: bool = False,
 ) -> DataFrame:
     """Fold `new_mentions` into `prior_mapping`, returning the full updated
     mapping (mention, mention_id, canonical_id, canonical) over old ∪ new.
@@ -1150,10 +1236,13 @@ def incremental_canonical_mapping(
         if prior_state is not None:
             # stored-state path: fresh features computed, old features read.
             # The union is the increment's WHOLE feature cost — Θ(batch).
+            # `portable` must match the mode prior_state was built with
+            # (band_hashes types/values must line up — the mention_state
+            # invariant); the union would fail loudly on a type mismatch
             state_all = prior_state.select(
                 "mention_id", "mention", "band_hashes", "sh", "n_sh", "embedding"
             ).unionByName(
-                mention_state(fresh, n_hashes, n_bands).select(
+                mention_state(fresh, n_hashes, n_bands, portable=portable).select(
                     "mention_id", "mention", "band_hashes", "sh", "n_sh", "embedding"
                 )
             ).localCheckpoint(eager=False)
@@ -1168,9 +1257,15 @@ def incremental_canonical_mapping(
             # recompute path: one linear full-corpus signature pass (17 s
             # for 62k+10k mentions on the 200k-turn profile — measured
             # ~45%% of the whole fold; pass prior_state to drop it).
-            shingled = _shingled_mentions(all_mentions)
-            banded_src = _banded_signatures(shingled, n_hashes, n_bands)
-            hashed_all = _hashed_shingles(shingled)
+            if portable:
+                shingled = _shingled_mentions(all_mentions)
+                hashed_all = _hashed_shingles(shingled)
+            else:
+                shingled = _shingle_hashed_mentions(all_mentions)
+                hashed_all = shingled.select(
+                    "mention_id", "sh", F.size("sh").alias("n_sh")
+                )
+            banded_src = _banded_signatures(shingled, n_hashes, n_bands, portable)
             emb_all = None  # embedded lazily, restricted to incident ids
         # Materialized once — banded feeds both sides of the bucket join,
         # and re-evaluating 16 md5 minhashes + the cap window per consumer

@@ -171,29 +171,43 @@ def ensure_dedup_input(n_docs: int) -> str:
     texts re-keyed as (doc_id, text) plus the planted_docs near-dup copies
     (80% prefixes of every 5th doc) — so the banded join has real matches
     to verify, like a crawl shard would."""
-    if n_docs > 1_000_000:
-        raise ValueError(
-            "dedup tier caps at 1M docs: planted copy ids are doc_id + 1e6"
-        )
+    if n_docs > 80_000_000:
+        raise ValueError("dedup tier caps at 80M docs (plant-id offset 1e8)")
     path = os.path.join(REPO, ".cache", f"dedup_docs_{n_docs}")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         from pyspark.sql import functions as F
 
         from openue_spark.fixtures import planted_docs, transcripts_spark
+        from openue_spark.ops.dedup import with_tokens
         from openue_spark.session import get_spark
 
         spark = get_spark(app_name="scaling_dedup_gen", master="local[32]")
         spark.sparkContext.setLogLevel("ERROR")
         # doc_id = the GLOBAL turn index (conv serial * 8 + turn_idx) — a
-        # pure function of the row, unique, and < 1e6 at every tier size,
-        # so planted_docs' +1_000_000 copy ids can never collide
+        # pure function of the row and unique at every tier size
         docs = transcripts_spark(spark, n_docs).select(
             (
                 F.substring("conv_id", 6, 8).cast("long") * 8 + F.col("turn_idx")
             ).alias("doc_id"),
             "text",
         )
-        planted_docs(docs).write.mode("overwrite").parquet(path)
+        if n_docs <= 1_000_000:
+            # the shared fixture (copy ids +1e6 — safe below 1M docs)
+            planted = planted_docs(docs)
+        else:
+            # same 80%-prefix plants, copy-id offset 1e8 for the big tiers
+            base = with_tokens(docs.select("doc_id", "text")).select(
+                "doc_id", "tokens"
+            )
+            plants = base.where(F.col("doc_id") % 5 == 0).select(
+                (F.col("doc_id") + 100_000_000).alias("doc_id"),
+                F.expr(
+                    "slice(tokens, 1,"
+                    " greatest(1, cast(floor(size(tokens) * 0.8) as int)))"
+                ).alias("tokens"),
+            )
+            planted = base.unionByName(plants)
+        planted.write.mode("overwrite").parquet(path)
         spark.stop()
     return path
 

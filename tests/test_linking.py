@@ -502,36 +502,47 @@ def test_increment_bridge_merges_prior_components(spark):
 def test_mention_state_matches_recomputed_features(spark, triples_df):
     """The persisted state's band_hashes/sh/n_sh must be bit-identical to
     the blocker's recomputed signatures — the invariant that makes the
-    state-fed increment equal the recompute-fed one."""
+    state-fed increment equal the recompute-fed one — in BOTH hash modes.
+    The `sh` verify column must additionally be identical ACROSS modes
+    (the de-stringed char-3-gram hashes == xxhash64 of the string
+    shingles, same order), so only band_hashes carries the mode."""
     from pyspark.sql import functions as F
 
     from openue_spark.pipeline.linking import (
         _banded_signatures,
         _hashed_shingles,
+        _shingle_hashed_mentions,
         _shingled_mentions,
         mention_state,
         mention_table,
     )
 
     mentions = mention_table(triples_df)
-    state = mention_state(mentions)
-    from_state = {
-        (r.mention_id, r.band_id, r.band_hash)
-        for r in state.select(
-            "mention_id", F.posexplode("band_hashes").alias("band_id", "band_hash")
-        ).collect()
-    }
-    recomputed = {
-        (r.mention_id, r.band_id, r.band_hash)
-        for r in _banded_signatures(_shingled_mentions(mentions), 16, 8).collect()
-    }
-    assert from_state == recomputed
-    sh_state = {(r.mention_id, tuple(r.sh), r.n_sh) for r in state.collect()}
-    sh_re = {
-        (r.mention_id, tuple(r.sh), r.n_sh)
-        for r in _hashed_shingles(_shingled_mentions(mentions)).collect()
-    }
-    assert sh_state == sh_re
+    for portable in (False, True):
+        state = mention_state(mentions, portable=portable)
+        from_state = {
+            (r.mention_id, r.band_id, r.band_hash)
+            for r in state.select(
+                "mention_id",
+                F.posexplode("band_hashes").alias("band_id", "band_hash"),
+            ).collect()
+        }
+        shingled = (
+            _shingled_mentions(mentions)
+            if portable
+            else _shingle_hashed_mentions(mentions)
+        )
+        recomputed = {
+            (r.mention_id, r.band_id, r.band_hash)
+            for r in _banded_signatures(shingled, 16, 8, portable).collect()
+        }
+        assert from_state == recomputed, f"portable={portable}"
+        sh_state = {(r.mention_id, tuple(r.sh), r.n_sh) for r in state.collect()}
+        sh_re = {
+            (r.mention_id, tuple(r.sh), r.n_sh)
+            for r in _hashed_shingles(_shingled_mentions(mentions)).collect()
+        }
+        assert sh_state == sh_re, f"portable={portable}"
 
 
 @pytest.mark.slow
