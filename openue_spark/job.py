@@ -58,7 +58,7 @@ def main(argv: list[str] | None = None, spark=None) -> int:
     parser.add_argument("--out", required=True, help="output dir (triples/, graph/, manifest/, mapping/)")
     parser.add_argument("--shards", type=int, default=16, help="conv_id-hash shards for resumability")
     parser.add_argument("--no-link", action="store_true", help="skip entity linking/canonicalization")
-    parser.add_argument("--salt-buckets", type=int, default=16, help="dedup skew-salt buckets")
+    parser.add_argument("--salt-buckets", type=int, default=1, help="dedup salt buckets (1 = plain one-shuffle agg; >1 = explicit two-phase salting, only pays for non-algebraic buffers — PLANS.md \u00a724)")
     parser.add_argument(
         "--increment", action="store_true",
         help="treat --input/--synthesize as a NEW batch folded into the"

@@ -38,7 +38,7 @@ def kg_exists(out_dir: str) -> bool:
 def fold_batch_into_kg(
     raw: DataFrame,
     out_dir: str,
-    salt_buckets: int = 16,
+    salt_buckets: int = 1,
     max_bucket: int | None = 256,
 ) -> dict:
     """Fold `raw` (conv_id, turn_idx, subj, rel_id, pred, obj) into the KG

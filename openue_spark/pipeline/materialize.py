@@ -9,10 +9,15 @@ with `PARTITIONED BY (pred, bucket(N, conv_bucket))`):
     triples/shard=K/...      one directory per conv_id-hash shard
     manifest/...             append-only lineage rows, one per (run, shard)
 
-Skew: the (subj, pred, obj) dedup groupBy is exposed to hot-predicate skew
-at 10^12-turn scale; `dedup_triples_salted` does an explicit two-phase
-salted aggregation (partial counts per salt, then re-aggregate), on top of
-AQE skew handling enabled in session.py.
+Skew: the (subj, pred, obj) dedup groupBy carries algebraic buffers
+(count/min), so Spark's map-side partial aggregation neutralizes
+hot-predicate skew by construction — measured on a planted 25%-hot key
+(scripts/skew_ab.py; PLANS.md §24): the plain one-shuffle agg (the
+default) beats explicit two-phase salting ~1.4x with max==mean task
+times. `dedup_triples_salted(salt_buckets>1)` keeps the explicit salted
+path for non-algebraic buffers; hot JOIN sides are salted where it pays
+(linking's gated CANON_SALT_MENTIONS), on top of AQE skew handling
+enabled in session.py.
 
 Resume: a run processes conv_id-hash shards independently; each completed
 shard appends a manifest row. A resumed run anti-joins the done-shard set
@@ -62,14 +67,32 @@ def _weights_sha(weights_bc, tokenizer_bc=None) -> str:
     return hashlib.sha256(payload).hexdigest()
 
 
-def dedup_triples_salted(raw_triples: DataFrame, salt_buckets: int = 16) -> DataFrame:
-    """(subj, pred, obj) dedup + support counts via explicit two-phase
-    salted aggregation: phase 1 aggregates within (salt, key) — spreading a
-    hot key over `salt_buckets` reducers — phase 2 merges the partials.
+def dedup_triples_salted(raw_triples: DataFrame, salt_buckets: int = 1) -> DataFrame:
+    """(subj, pred, obj) dedup + support counts. Default (salt_buckets<=1)
+    is ONE hash-aggregate shuffle: for algebraic buffers (count/min),
+    Spark's map-side partial aggregation already collapses a hot key to
+    one row per map task before the exchange, so the reduce side sees at
+    most #map-tasks rows per key — hot-predicate skew is neutralized by
+    construction. Measured (scripts/skew_ab.py, 20M rows with ONE key
+    carrying 25%, pinned 8 cores, A/B/A/B fresh processes): plain
+    4.05/4.17 s vs salted 5.65/5.92 s (~1.4x), event-log max task ==
+    mean task in every stage for BOTH variants — the extra salted
+    exchange is pure cost here (PLANS.md §24).
+
+    `salt_buckets > 1` keeps the explicit two-phase salted aggregation —
+    phase 1 aggregates within (salt, key), phase 2 merges partials — for
+    aggregation buffers partial-agg canNOT compress (collect_set/list,
+    exact distinct payloads). The hot-JOIN-side analogue (where salting
+    does pay) is linking's gated-salt canonical rewrite
+    (pipeline/linking.py CANON_SALT_MENTIONS).
 
     Carries `first_conv` (min conv_id) as provenance: the deterministic
     representative conversation, and the basis of the table's conv bucket.
     """
+    if salt_buckets <= 1:
+        return raw_triples.groupBy("subj", "pred", "obj").agg(
+            F.count(F.lit(1)).alias("support"), F.min("conv_id").alias("first_conv")
+        )
     salted = raw_triples.withColumn(
         "salt", F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(salt_buckets))
     )
@@ -374,7 +397,7 @@ def write_bucketed_table(
 
 
 def write_triple_table(
-    triples: DataFrame, path: str, salt_buckets: int = 16, conv_buckets: int = 8
+    triples: DataFrame, path: str, salt_buckets: int = 1, conv_buckets: int = 8
 ) -> None:
     """Final deduplicated graph table partitioned by (pred, conv_bucket)
     (north-rule layout: predicate + conv_id bucket; hive-style dirs here,

@@ -70,7 +70,7 @@ def stream_fold_sink(
     kg_dir: str,
     checkpoint_dir: str,
     available_now: bool = True,
-    salt_buckets: int = 16,
+    salt_buckets: int = 1,
     max_bucket: int | None = 256,
 ):
     """Continuous KG maintenance: extract each micro-batch of transcript
