@@ -327,6 +327,20 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return near_dup_clusters(_planted(spark, sf_dir), min_jaccard=0.6, portable=True)
 
 
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-passage stats (ops/dedup.py dup_passage_stats):
+    EVERY rolling 8-token window of the planted corpus hashed (no
+    winnowing-style sampling), a window flagged when its hash occurs in
+    >= 2 distinct docs, rolled up per doc with the duplicated fraction
+    in integer micro-units (engine-exact `div`). The planted 80%-prefix
+    clones guarantee true positives at every sf. portable=True pins the
+    md5-prefix window hash the DuckDB oracle replays; the production
+    xxhash64 mode is pinned stat-identical by test."""
+    from .ops.dedup import dup_passage_stats
+
+    return dup_passage_stats(_planted(spark, sf_dir), n=8, portable=True)
+
+
 def q_minhash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.dedup import minhash_dedup_keep
 
@@ -414,6 +428,17 @@ def q_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.text import token_df
 
     return token_df(_t(spark, sf_dir, "documents"))
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-token collocation extraction (ops/text.py collocations):
+    bigram/unigram counts over the documents table with the PMI-monotone
+    integer score pmi_e9 = n_ab * 10^9 div (n_a * n_b) — pure decimal/
+    bigint arithmetic (Spark `div` == DuckDB HUGEINT `//`), so the
+    driver value-hashes every column including the score."""
+    from .ops.text import collocations
+
+    return collocations(_t(spark, sf_dir, "documents"), min_count=5)
 
 
 def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2014,6 +2039,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # LPA communities: tail; the iterative-graph-oracle pattern is
         # head-checked by kg_pagerank (same unrolled-CTE machinery)
         "kg_communities": q_kg_communities,
+        # exact duplicated-passage stats (round 5): tail; the rolling
+        # md5-window hash is head-checked via doc_fingerprint and the
+        # planted-corpus machinery via the minhash rows — this adds the
+        # EXHAUSTIVE (non-sampled) substring-dedup variant the
+        # training-data brief names (Lee et al. ExactSubstr)
+        "dup_passages": q_dup_passages,
+        # PMI collocations: tail; the explode+groupBy count family is
+        # head-checked by a1/a2 and token_df — this adds the integer-PMI
+        # bigram scoring (vocab/tokenizer prep)
+        "pmi_collocations": q_pmi_collocations,
     }
 
 
@@ -3218,6 +3253,57 @@ def oracle_sql() -> dict[str, str]:
             "      ELSE '199a' END"
         ),
         "kg_communities": _duck_lpa(3),
+        # mirrors ops/dedup.dup_passage_stats(n=8, portable=True) over the
+        # planted corpus (same base/corpus CTEs as the minhash rows): the
+        # 32-bit md5-prefix hash of every rolling 8-token window
+        # (winnowing's hash at k=8), dup = window hash in >= 2 distinct
+        # docs, per-doc rollup with integer // micro-fraction
+        "dup_passages": (
+            "WITH base AS (SELECT doc_id,"
+            " regexp_split_to_array(trim(lower(text)), '\\s+') AS tokens"
+            " FROM documents),"
+            " corpus AS ("
+            "  SELECT doc_id, tokens FROM base"
+            "  UNION ALL"
+            "  SELECT doc_id + 1000000 AS doc_id,"
+            "   tokens[1:greatest(1, cast(floor(len(tokens) * 0.8) as int))]"
+            "   AS tokens FROM base WHERE doc_id % 5 = 0),"
+            " wh AS (SELECT doc_id, list_transform("
+            "   range(1, greatest(len(tokens) - 7, 1) + 1),"
+            "   i -> ('0x' || substr(md5(array_to_string("
+            "     list_slice(tokens, CAST(i AS INT), CAST(i AS INT) + 7),"
+            "     ' ')), 1, 8))::BIGINT) AS hs"
+            "  FROM corpus WHERE len(tokens) > 0),"
+            " ex AS (SELECT doc_id, unnest(hs) AS h FROM wh),"
+            " dup AS (SELECT h FROM ex GROUP BY h"
+            "  HAVING count(DISTINCT doc_id) >= 2),"
+            " cnt AS (SELECT e.doc_id, count(*)::BIGINT AS n_dup"
+            "  FROM ex e JOIN dup USING (h) GROUP BY e.doc_id)"
+            " SELECT w.doc_id, len(w.hs)::BIGINT AS n_windows,"
+            "  coalesce(c.n_dup, 0)::BIGINT AS n_dup_windows,"
+            "  (coalesce(c.n_dup, 0)::BIGINT * 1000000) // len(w.hs)::BIGINT"
+            "   AS dup_micro"
+            " FROM wh w LEFT JOIN cnt c USING (doc_id)"
+        ),
+        # mirrors ops/text.collocations(min_count=5): same lowercased
+        # whitespace split, adjacent bigram + unigram counts, integer
+        # PMI-monotone score (HUGEINT // == Spark decimal div); ::BIGINT
+        # guards DuckDB's HUGEINT counts
+        "pmi_collocations": (
+            "WITH t AS (SELECT doc_id,"
+            "  regexp_split_to_array(trim(lower(text)), '\\s+') AS tk"
+            " FROM documents WHERE length(trim(text)) > 0),"
+            " uni AS (SELECT unnest(tk) AS w FROM t),"
+            " un AS (SELECT w, count(*)::BIGINT AS n FROM uni GROUP BY w),"
+            " bg AS (SELECT tk[i] AS w1, tk[i+1] AS w2"
+            "  FROM t, unnest(range(1, len(tk))) u(i) WHERE len(tk) >= 2),"
+            " bn AS (SELECT w1, w2, count(*)::BIGINT AS n_ab FROM bg"
+            "  GROUP BY 1, 2 HAVING count(*) >= 5)"
+            " SELECT b.w1, b.w2, b.n_ab, a.n AS n_a, c.n AS n_b,"
+            "  ((b.n_ab::HUGEINT * 1000000000) // (a.n::HUGEINT * c.n))::BIGINT"
+            "   AS pmi_e9"
+            " FROM bn b JOIN un a ON b.w1 = a.w JOIN un c ON b.w2 = c.w"
+        ),
         "event_props_stats": (
             "SELECT event_type, count(*)::BIGINT AS n_events,"
             " count(k)::BIGINT AS n_with_k, sum(k)::BIGINT AS sum_k,"

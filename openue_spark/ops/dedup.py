@@ -550,6 +550,87 @@ def winnow_decontaminate(
     )
 
 
+# --- exact duplicated-passage detection (substring-granular dedup) ---
+
+
+def dup_passage_stats(
+    docs: DataFrame, n: int = 8, portable: bool = False
+) -> DataFrame:
+    """(doc_id, n_windows, n_dup_windows, dup_micro): exact duplicated-
+    passage detection — the substring-granular dedup pass (Lee et al.,
+    "Deduplicating Training Data Makes Language Models Better": exact
+    repeated substrings matter even when whole-document similarity is
+    low). EVERY rolling n-token window of every document is hashed (no
+    sampling — winnowing keeps ~1/window of positions; this pass keeps
+    them all), a window counts as duplicated when its hash occurs in
+    >= 2 DISTINCT documents, and the result is one row per document:
+    total windows, duplicated windows, and the duplicated fraction in
+    integer micro-units (``n_dup * 1_000_000 div n_windows`` — pure
+    bigint, engine-exact). Repeats WITHIN one document do not count
+    (``text_repetition`` owns intra-doc repetition); a doc shorter than
+    n tokens contributes its single whole-token-list window, the same
+    tail convention as winnowing.
+
+    Two hash modes, same seam as minhash (CLAUDE.md hash-mode
+    invariant): default hashes each token once with xxhash64 and each
+    window as xxhash64 over the bigint slice (zero per-window string
+    materialization — the de-stringed fast path); ``portable=True``
+    uses the 32-bit md5-prefix word-n-gram hash the DuckDB oracle
+    replays bit-for-bit (winnowing's scheme at k=n). The per-doc STATS
+    are identical in both modes absent a 64-bit (or 32-bit portable)
+    collision between two distinct n-grams that ALSO lands them in
+    overlapping documents — pinned equal by test on the planted corpus.
+
+    Scale shape: window-hash array built per-row (barriered — the
+    payload crosses a join, the CollapseProject trap), one explode, one
+    groupBy(h) whose count_distinct(doc_id) partial-aggregates map-side
+    per (h, doc), one LEFT SEMI join back on h (each exploded row
+    matches at most the single aggregated hash row — a hot boilerplate
+    window CANNOT explode the join, unlike an inverted-index self-join,
+    so no df cap is needed), then an algebraic per-doc count. No
+    collect, no crossJoin, no Python UDF."""
+    corpus = _corpus(docs).where(F.size("tokens") > 0)
+    if portable:
+        win_expr = (
+            f"transform(sequence(1, greatest(size(tokens) - {n - 1}, 1)),"
+            f" i -> cast(conv(substring("
+            f"  md5(concat_ws(' ', slice(tokens, i, {n}))), 1, 8),"
+            f" 16, 10) as bigint))"
+        )
+    else:
+        # let-bind the per-token hash pass exactly like with_shingle_hashes
+        # (CollapseProject would re-hash the token array once per window)
+        win_expr = (
+            "element_at(transform(array(transform(tokens, t -> xxhash64(t))),"
+            f" th -> transform(sequence(1, greatest(size(th) - {n - 1}, 1)),"
+            f" i -> xxhash64(slice(th, i, {n})))), 1)"
+        )
+    wh = _barrier(corpus.select("doc_id", F.expr(win_expr).alias("wh")))
+    ex = wh.select("doc_id", F.explode("wh").alias("h"))
+    dup = (
+        ex.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    cnt = ex.join(dup, "h", "left_semi").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup")
+    )
+    return (
+        wh.select("doc_id", F.size("wh").cast("long").alias("n_windows"))
+        .join(cnt, "doc_id", "left")
+        .withColumn(
+            "n_dup_windows", F.coalesce(F.col("n_dup"), F.lit(0)).cast("long")
+        )
+        .select(
+            "doc_id",
+            "n_windows",
+            "n_dup_windows",
+            F.expr("n_dup_windows * 1000000 div n_windows").alias("dup_micro"),
+        )
+    )
+
+
 # --- embedding cosine near-dup ---
 
 

@@ -183,6 +183,69 @@ def token_df(docs: DataFrame, min_df: int = 1) -> DataFrame:
     return out
 
 
+def collocations(docs: DataFrame, min_count: int = 5) -> DataFrame:
+    """(w1, w2, n_ab, n_a, n_b, pmi_e9): adjacent-token collocation
+    extraction ranked by pointwise mutual information — the classic
+    vocab/tokenizer-prep pass that surfaces multi-word units ("new york")
+    worth merging before BPE training. ``pmi_e9 = n_ab * 10^9 div
+    (n_a * n_b)`` is monotone in true PMI ``log(p_ab / (p_a * p_b))``
+    for a fixed corpus (the dropped ``N^2/M`` factor and the log are
+    constant/monotone), so ranking by it IS ranking by PMI — while
+    staying pure integer arithmetic (decimal(38,0) product, integer
+    ``div`` == DuckDB HUGEINT ``//``), so the score hash-compares
+    cross-engine at any corpus size with no float division anywhere
+    (CLAUDE.md integer-score rule). ``n_ab <= min(n_a, n_b)`` bounds
+    the quotient at 10^9 — always bigint-safe.
+
+    Scale shape: two algebraic groupBys (bigram and unigram counts, both
+    partial-aggregating map-side — a hot bigram collapses to one row per
+    map task) and two joins of the min_count-filtered bigram table
+    against the unigram counts on single token keys. The unigram side is
+    the corpus VOCABULARY (sublinear in corpus size), so AQE broadcasts
+    it when small and shuffle-joins otherwise — no unconditional
+    broadcast hint (CLAUDE.md gated-broadcast invariant). min_count
+    prunes the long tail BEFORE the joins."""
+    tok = docs.where(F.length(F.trim(F.col("text"))) > 0).select(
+        "doc_id", F.split(F.trim(F.lower(F.col("text"))), r"\s+").alias("tk")
+    )
+    uni = (
+        tok.select(F.explode("tk").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    big = (
+        tok.where(F.size("tk") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tk) - 1),"
+                    " i -> struct(element_at(tk, i) AS w1,"
+                    " element_at(tk, i + 1) AS w2))"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+        .where(F.col("n_ab") >= min_count)
+    )
+    return (
+        big.join(uni.select(F.col("w").alias("w1"), F.col("n").alias("n_a")), "w1")
+        .join(uni.select(F.col("w").alias("w2"), F.col("n").alias("n_b")), "w2")
+        .select(
+            "w1",
+            "w2",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr(
+                "cast(n_ab as decimal(38,0)) * 1000000000"
+                " div (cast(n_a as decimal(38,0)) * n_b)"
+            ).alias("pmi_e9"),
+        )
+    )
+
+
 def winnow_fp_arrays(docs: DataFrame, k: int = 3, window: int = 4) -> DataFrame:
     """(doc_id, fps): the per-document DISTINCT winnowing fingerprint set
     as an array column — the shared builder behind `winnow_fingerprints`

@@ -1260,3 +1260,146 @@ def test_negative_samples_wide_vocab_autosizes(spark):
     assert len(out) > 1000
     ents = {r[0] for r in rows} | {r[2] for r in rows}
     assert all(r.neg_obj in ents for r in out)
+
+
+# --- exact duplicated-passage detection (ops/dedup.dup_passage_stats) ---
+
+
+def _brute_dup_passages(token_lists, n=8):
+    """Python reference: per-doc rolling n-token md5-prefix window hashes,
+    dup = hash present in >= 2 distinct docs, integer micro-fraction."""
+    import hashlib
+
+    windows = {}
+    for d, toks in token_lists.items():
+        if not toks:
+            continue
+        hs = []
+        for i in range(max(len(toks) - n + 1, 1)):
+            g = " ".join(toks[i : i + n])
+            hs.append(int(hashlib.md5(g.encode()).hexdigest()[:8], 16))
+        windows[d] = hs
+    docs_per_hash = {}
+    for d, hs in windows.items():
+        for h in set(hs):
+            docs_per_hash.setdefault(h, set()).add(d)
+    out = {}
+    for d, hs in windows.items():
+        nd = sum(1 for h in hs if len(docs_per_hash[h]) >= 2)
+        out[d] = (len(hs), nd, nd * 1_000_000 // len(hs))
+    return out
+
+
+def test_dup_passage_stats_matches_brute_force(spark, docs):
+    from openue_spark.fixtures import planted_docs
+    from openue_spark.ops.dedup import dup_passage_stats
+
+    corpus = planted_docs(docs)
+    toks = {r.doc_id: list(r.tokens) for r in corpus.collect()}
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_micro)
+        for r in dup_passage_stats(corpus, n=8, portable=True).collect()
+    }
+    assert got == _brute_dup_passages(toks, n=8)
+    # some dups must exist (the plants guarantee them)
+    assert any(v[1] > 0 for v in got.values())
+
+
+def test_dup_passage_planted_prefix_fully_flagged(spark, docs):
+    """An 80%-prefix clone's every rolling window IS a window of its
+    source (all fixture docs are >= 8 tokens), so every clone must read
+    dup_micro == 1_000_000 and every cloned source must show >= 1 dup."""
+    from openue_spark.fixtures import planted_docs
+    from openue_spark.ops.dedup import dup_passage_stats
+
+    rows = dup_passage_stats(planted_docs(docs), n=8, portable=True).collect()
+    clones = [r for r in rows if r.doc_id >= 1_000_000]
+    assert clones and all(
+        r.n_dup_windows == r.n_windows and r.dup_micro == 1_000_000
+        for r in clones
+    )
+    sources = {r.doc_id - 1_000_000 for r in clones}
+    assert all(
+        r.n_dup_windows >= 1 for r in rows if r.doc_id in sources
+    )
+
+
+def test_dup_passage_modes_agree(spark, docs):
+    """The xxhash64 production mode and the md5 portable (oracle) mode
+    produce identical per-doc STATS — only the hash family differs, and
+    collisions are astronomically unlikely at fixture scale."""
+    from openue_spark.fixtures import planted_docs
+    from openue_spark.ops.dedup import dup_passage_stats
+
+    corpus = planted_docs(docs).persist()
+    fast = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_micro)
+        for r in dup_passage_stats(corpus, n=8, portable=False).collect()
+    }
+    port = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_micro)
+        for r in dup_passage_stats(corpus, n=8, portable=True).collect()
+    }
+    corpus.unpersist()
+    assert fast == port
+
+
+def test_dup_passage_short_doc_single_window(spark):
+    """Docs shorter than n contribute one whole-token-list window (the
+    winnowing tail convention): two identical 3-token docs are mutual
+    dups; a distinct third doc is clean."""
+    from openue_spark.ops.dedup import dup_passage_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y z")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_windows, r.n_dup_windows, r.dup_micro)
+        for r in dup_passage_stats(df, n=8, portable=True).collect()
+    }
+    assert got == {1: (1, 1, 1_000_000), 2: (1, 1, 1_000_000), 3: (1, 0, 0)}
+
+
+# --- PMI collocations (ops/text.collocations) ---
+
+
+def test_collocations_matches_brute_force(spark, docs):
+    from openue_spark.ops.text import collocations
+
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    uni, big = {}, {}
+    for _, text in texts.items():
+        toks = text.strip().lower().split()
+        for t in toks:
+            uni[t] = uni.get(t, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    min_count = 2
+    expect = {
+        (a, b): (c, uni[a], uni[b], c * 10**9 // (uni[a] * uni[b]))
+        for (a, b), c in big.items()
+        if c >= min_count
+    }
+    got = {
+        (r.w1, r.w2): (r.n_ab, r.n_a, r.n_b, r.pmi_e9)
+        for r in collocations(docs, min_count=min_count).collect()
+    }
+    assert got == expect and got
+
+
+def test_collocations_single_token_docs_count_unigrams_only(spark):
+    """One-token docs feed n_a/n_b but produce no bigrams; the score is
+    the documented integer expression."""
+    from openue_spark.ops.text import collocations
+
+    df = spark.createDataFrame(
+        [(1, "new york"), (2, "new york"), (3, "new"), (4, "york")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.w1, r.w2): (r.n_ab, r.n_a, r.n_b, r.pmi_e9)
+        for r in collocations(df, min_count=2).collect()
+    }
+    # n_ab=2, n_a("new")=3, n_b("york")=3 -> 2e9 // 9
+    assert got == {("new", "york"): (2, 3, 3, 2 * 10**9 // 9)}
