@@ -341,6 +341,16 @@ def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_passage_stats(_planted(spark, sf_dir), n=8, portable=True)
 
 
+def q_dup_passage_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level output of the ExactSubstr pass (ops/dedup.py
+    dup_passage_positions): the 0-based token offset of every duplicated
+    8-token window over the planted corpus — the positions a surgical
+    substring-dedup cuts. Same md5 portable hash as dup_passages."""
+    from .ops.dedup import dup_passage_positions
+
+    return dup_passage_positions(_planted(spark, sf_dir), n=8, portable=True)
+
+
 def q_minhash_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .ops.dedup import minhash_dedup_keep
 
@@ -2049,6 +2059,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # head-checked by a1/a2 and token_df — this adds the integer-PMI
         # bigram scoring (vocab/tokenizer prep)
         "pmi_collocations": q_pmi_collocations,
+        # span-level ExactSubstr output: tail; shares dup_passages'
+        # window/dup machinery, adds the positional (cuttable-span) view
+        "dup_passage_positions": q_dup_passage_positions,
     }
 
 
@@ -3284,6 +3297,32 @@ def oracle_sql() -> dict[str, str]:
             "  (coalesce(c.n_dup, 0)::BIGINT * 1000000) // len(w.hs)::BIGINT"
             "   AS dup_micro"
             " FROM wh w LEFT JOIN cnt c USING (doc_id)"
+        ),
+        # mirrors ops/dedup.dup_passage_positions(n=8, portable=True):
+        # same CTEs as dup_passages, emitting the 0-based position of
+        # every duplicated window instead of the per-doc rollup
+        "dup_passage_positions": (
+            "WITH base AS (SELECT doc_id,"
+            " regexp_split_to_array(trim(lower(text)), '\\s+') AS tokens"
+            " FROM documents),"
+            " corpus AS ("
+            "  SELECT doc_id, tokens FROM base"
+            "  UNION ALL"
+            "  SELECT doc_id + 1000000 AS doc_id,"
+            "   tokens[1:greatest(1, cast(floor(len(tokens) * 0.8) as int))]"
+            "   AS tokens FROM base WHERE doc_id % 5 = 0),"
+            " wh AS (SELECT doc_id, list_transform("
+            "   range(1, greatest(len(tokens) - 7, 1) + 1),"
+            "   i -> ('0x' || substr(md5(array_to_string("
+            "     list_slice(tokens, CAST(i AS INT), CAST(i AS INT) + 7),"
+            "     ' ')), 1, 8))::BIGINT) AS hs"
+            "  FROM corpus WHERE len(tokens) > 0),"
+            " ex AS (SELECT doc_id, i - 1 AS pos, hs[CAST(i AS INT)] AS h"
+            "  FROM wh, unnest(range(1, len(hs) + 1)) u(i)),"
+            " dup AS (SELECT h FROM ex GROUP BY h"
+            "  HAVING count(DISTINCT doc_id) >= 2)"
+            " SELECT e.doc_id, e.pos::BIGINT AS pos"
+            " FROM ex e JOIN dup USING (h)"
         ),
         # mirrors ops/text.collocations(min_count=5): same lowercased
         # whitespace split, adjacent bigram + unigram counts, integer

@@ -553,6 +553,55 @@ def winnow_decontaminate(
 # --- exact duplicated-passage detection (substring-granular dedup) ---
 
 
+def _dup_windows(docs: DataFrame, n: int, portable: bool):
+    """Shared build for the dup-passage family: (wh, ex, dup) where wh is
+    the barriered (doc_id, wh: array<bigint>) rolling n-token window-hash
+    frame, ex its positional explode (doc_id, pos, h), and dup the
+    aggregated hashes occurring in >= 2 distinct docs."""
+    corpus = _corpus(docs).where(F.size("tokens") > 0)
+    if portable:
+        win_expr = (
+            f"transform(sequence(1, greatest(size(tokens) - {n - 1}, 1)),"
+            f" i -> cast(conv(substring("
+            f"  md5(concat_ws(' ', slice(tokens, i, {n}))), 1, 8),"
+            f" 16, 10) as bigint))"
+        )
+    else:
+        # let-bind the per-token hash pass exactly like with_shingle_hashes
+        # (CollapseProject would re-hash the token array once per window)
+        win_expr = (
+            "element_at(transform(array(transform(tokens, t -> xxhash64(t))),"
+            f" th -> transform(sequence(1, greatest(size(th) - {n - 1}, 1)),"
+            f" i -> xxhash64(slice(th, i, {n})))), 1)"
+        )
+    wh = _barrier(corpus.select("doc_id", F.expr(win_expr).alias("wh")))
+    ex = wh.select("doc_id", F.posexplode("wh").alias("pos", "h"))
+    dup = (
+        ex.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
+    )
+    return wh, ex, dup
+
+
+def dup_passage_positions(
+    docs: DataFrame, n: int = 8, portable: bool = False
+) -> DataFrame:
+    """(doc_id, pos): the 0-based token offset of every rolling n-token
+    window whose hash occurs in >= 2 distinct documents — the actionable
+    output of the ExactSubstr pass (the spans a surgical substring-dedup
+    actually CUTS; Lee et al. remove the duplicated bytes, not the
+    documents). A window at pos covers tokens [pos, pos+n); consecutive
+    flagged positions describe one contiguous duplicated passage. Same
+    hash-mode seam, same plan shape as dup_passage_stats minus the
+    per-doc rollup (the semi-join output IS the result)."""
+    _, ex, dup = _dup_windows(docs, n, portable)
+    return ex.join(dup, "h", "left_semi").select(
+        "doc_id", F.col("pos").cast("long").alias("pos")
+    )
+
+
 def dup_passage_stats(
     docs: DataFrame, n: int = 8, portable: bool = False
 ) -> DataFrame:
@@ -589,30 +638,7 @@ def dup_passage_stats(
     window CANNOT explode the join, unlike an inverted-index self-join,
     so no df cap is needed), then an algebraic per-doc count. No
     collect, no crossJoin, no Python UDF."""
-    corpus = _corpus(docs).where(F.size("tokens") > 0)
-    if portable:
-        win_expr = (
-            f"transform(sequence(1, greatest(size(tokens) - {n - 1}, 1)),"
-            f" i -> cast(conv(substring("
-            f"  md5(concat_ws(' ', slice(tokens, i, {n}))), 1, 8),"
-            f" 16, 10) as bigint))"
-        )
-    else:
-        # let-bind the per-token hash pass exactly like with_shingle_hashes
-        # (CollapseProject would re-hash the token array once per window)
-        win_expr = (
-            "element_at(transform(array(transform(tokens, t -> xxhash64(t))),"
-            f" th -> transform(sequence(1, greatest(size(th) - {n - 1}, 1)),"
-            f" i -> xxhash64(slice(th, i, {n})))), 1)"
-        )
-    wh = _barrier(corpus.select("doc_id", F.expr(win_expr).alias("wh")))
-    ex = wh.select("doc_id", F.explode("wh").alias("h"))
-    dup = (
-        ex.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .where(F.col("nd") >= 2)
-        .select("h")
-    )
+    wh, ex, dup = _dup_windows(docs, n, portable)
     cnt = ex.join(dup, "h", "left_semi").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup")
     )

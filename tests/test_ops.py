@@ -1403,3 +1403,52 @@ def test_collocations_single_token_docs_count_unigrams_only(spark):
     }
     # n_ab=2, n_a("new")=3, n_b("york")=3 -> 2e9 // 9
     assert got == {("new", "york"): (2, 3, 3, 2 * 10**9 // 9)}
+
+
+def test_dup_passage_positions_matches_brute_force(spark, docs):
+    """Positions are exactly the brute-force flagged window offsets, and
+    rolling them up reproduces dup_passage_stats' n_dup_windows."""
+    import hashlib
+
+    from openue_spark.fixtures import planted_docs
+    from openue_spark.ops.dedup import dup_passage_positions, dup_passage_stats
+
+    n = 8
+    corpus = planted_docs(docs).persist()
+    toks = {r.doc_id: list(r.tokens) for r in corpus.collect()}
+    windows = {
+        d: [
+            int(
+                hashlib.md5(" ".join(t[i : i + n]).encode()).hexdigest()[:8],
+                16,
+            )
+            for i in range(max(len(t) - n + 1, 1))
+        ]
+        for d, t in toks.items()
+        if t
+    }
+    docs_per_hash = {}
+    for d, hs in windows.items():
+        for h in set(hs):
+            docs_per_hash.setdefault(h, set()).add(d)
+    expect = {
+        (d, i)
+        for d, hs in windows.items()
+        for i, h in enumerate(hs)
+        if len(docs_per_hash[h]) >= 2
+    }
+    got = {
+        (r.doc_id, r.pos)
+        for r in dup_passage_positions(corpus, n=n, portable=True).collect()
+    }
+    assert got == expect and got
+    # rollup consistency with the stats op
+    stats = {
+        r.doc_id: r.n_dup_windows
+        for r in dup_passage_stats(corpus, n=n, portable=True).collect()
+    }
+    rolled = {}
+    for d, _ in got:
+        rolled[d] = rolled.get(d, 0) + 1
+    corpus.unpersist()
+    assert rolled == {d: c for d, c in stats.items() if c > 0}
