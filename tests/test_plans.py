@@ -174,3 +174,25 @@ def test_pack_sequences_plan_has_exactly_one_shuffle(spark):
     plan = _plan(pack_sequences(items, ["doc_id"], context_len=32, n_shards=4))
     assert plan.count("Exchange") == 1, plan
     assert "Window" in plan, plan
+
+
+def test_dup_passage_plan_shape(spark):
+    """PLANS.md section 25: the ExactSubstr pass must (a) contain no
+    nested-loop/cartesian join — the dup-flag probe is a hash semi-join
+    against the AGGREGATED window-hash table, never an inverted-index
+    self-join; (b) partial-aggregate the window-hash count_distinct
+    map-side (HashAggregate pairs around the h exchange); (c) keep the
+    window-hash build behind a barrier (ExistingRDD scan in the plan —
+    the 2x A/B of section 25)."""
+    from openue_spark.ops.dedup import dup_passage_positions, dup_passage_stats
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i % 5} w2 w3 w4 w5 w6 w7 w8 w9 w{i % 3}") for i in range(32)],
+        "doc_id long, text string",
+    )
+    for op in (dup_passage_stats, dup_passage_positions):
+        plan = _plan(op(docs, n=8))
+        assert "CartesianProduct" not in plan, plan
+        assert "BroadcastNestedLoopJoin" not in plan, plan
+        assert plan.count("HashAggregate") >= 2, plan
+        assert "ExistingRDD" in plan, plan  # the barriered wh frame
