@@ -839,10 +839,20 @@ def _synth_gold_corpus(
     toks = F.expr(
         f"slice(regexp_extract_all(lower(text), '{TOKEN_REGEX_SQL}', 0), 1, {max_words})"
     )
-    return (
+    # Materialization barrier on the tokenized frame: `tk` feeds the toks
+    # column AND every element_at inside gold_expr, and the whole corpus
+    # projection later collapses into the per-predicate EXPLODED frame of
+    # build_gold_ner_features — without the barrier the 300-char regex
+    # tokenize re-evaluates per reference per exploded row (measured: the
+    # grouped projection alone cost 10 s of the 12.8 s driver-scale query;
+    # the same CollapseProject trap as CLAUDE.md's p4-builder gotcha).
+    tokd = (
         docs.select(F.col("doc_id").alias("text_id"), toks.alias("tk"))
         .where(F.size("tk") >= 4)
-        .select("text_id", F.col("tk").alias("toks"), F.expr(gold_expr).alias("gold"))
+        .localCheckpoint(eager=False)
+    )
+    return tokd.select(
+        "text_id", F.col("tk").alias("toks"), F.expr(gold_expr).alias("gold")
     )
 
 

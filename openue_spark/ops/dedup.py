@@ -181,29 +181,40 @@ def minhash_candidate_pairs(docs: DataFrame, portable: bool = False) -> DataFram
     return _minhash_candidates_from(shingled, portable=portable)
 
 
-def _minhash_candidates_from(shingled: DataFrame, portable: bool = False) -> DataFrame:
+def _banded_flat(
+    shingled: DataFrame, portable: bool = False, keep: tuple[str, ...] = ()
+) -> DataFrame:
+    """(doc_id[, *keep], band0..bandN-1) materialized behind ONE barrier.
+
+    The barrier matters for two reasons (round-6 restructure of the r4
+    stacked-rows barrier): (a) the band self-join evaluates each side's
+    map stage independently (the a/b projections rename different
+    columns, so AQE's stage cache does not unify them), and without a
+    barrier the full signature pipeline — 8 md5s per shingle in portable
+    mode — runs once PER SIDE (measured 35-40% at sf0.1); (b) placing
+    the barrier on the FLAT per-doc frame instead of the exploded band
+    rows lets the verify path reuse the SAME materialization for its
+    shingle-hash lookups (`keep=("sh",)`), collapsing what used to be
+    two checkpoints (shingle strings ~90 MB + stacked rows) into one
+    ~40 MB columnar store that never holds a shingle string. simhash/
+    ngram were A/B'd with a band barrier and got SLOWER (their per-side
+    recompute is just shifts/explode over a stored fingerprint) —
+    minhash alone pays."""
     banded = with_band_hashes(
         with_minhash_signature(shingled, portable=portable), portable=portable
     )
-    # Barrier the STACKED band rows, not just the shingles: the self-join
-    # evaluates each side's map stage independently (the a/b projections
-    # rename different columns, so AQE's stage cache does not unify them
-    # here), and without this barrier the full signature pipeline — 8 md5s
-    # per shingle — runs once PER SIDE. Measured at sf0.1 (6000 planted
-    # docs): candidates 3.1-3.5 s -> 1.9-2.4 s, identical pairs. The
-    # stacked frame is narrow (doc_id + band key, n_bands rows/doc), so
-    # the materialization is cheap at any scale. simhash/ngram were A/B'd
-    # with the same barrier and got SLOWER (their per-side recompute is
-    # just shifts/explode over an already-stored fingerprint; the extra
-    # materialization job costs more than it saves) — minhash alone pays.
-    stacked = _barrier(
-        banded.select(
-            "doc_id",
-            F.explode(
-                F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_hash")) for b in range(N_BANDS)])
-            ).alias("bh"),
-        ).select("doc_id", "bh.band_id", "bh.band_hash")
+    return _barrier(
+        banded.select("doc_id", *keep, *[f"band{b}" for b in range(N_BANDS)])
     )
+
+
+def _pairs_from_flat(flat: DataFrame) -> DataFrame:
+    stacked = flat.select(
+        "doc_id",
+        F.explode(
+            F.array(*[F.struct(F.lit(b).alias("band_id"), F.col(f"band{b}").alias("band_hash")) for b in range(N_BANDS)])
+        ).alias("bh"),
+    ).select("doc_id", "bh.band_id", "bh.band_hash")
     a = stacked.select(F.col("doc_id").alias("a_id"), "band_id", "band_hash")
     b = stacked.select(F.col("doc_id").alias("b_id"), "band_id", "band_hash")
     return (
@@ -212,6 +223,10 @@ def _minhash_candidates_from(shingled: DataFrame, portable: bool = False) -> Dat
         .select("a_id", "b_id")
         .distinct()
     )
+
+
+def _minhash_candidates_from(shingled: DataFrame, portable: bool = False) -> DataFrame:
+    return _pairs_from_flat(_banded_flat(shingled, portable=portable))
 
 
 def minhash_verified_pairs(
@@ -232,18 +247,21 @@ def minhash_verified_pairs(
     the shared round-to-4)."""
     corpus = _corpus(docs)
     if portable:
-        shingled = _barrier(
-            with_shingles(corpus).select(
-                "doc_id",
-                "shingles",
-                F.expr("transform(shingles, s -> xxhash64(s))").alias("sh"),
-            )
+        shingled = with_shingles(corpus).select(
+            "doc_id",
+            "shingles",
+            F.expr("transform(shingles, s -> xxhash64(s))").alias("sh"),
         )
     else:
-        shingled = _barrier(with_shingle_hashes(corpus).select("doc_id", "sh"))
-    pairs = _minhash_candidates_from(shingled, portable=portable)
-    sa = shingled.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
-    sb = shingled.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
+        shingled = with_shingle_hashes(corpus).select("doc_id", "sh")
+    # ONE materialization for the whole operator: the un-barriered shingle
+    # pipeline evaluates exactly once, inside _banded_flat's barrier, which
+    # keeps `sh` so the verify join reads the same store (the old shape
+    # checkpointed the shingle-string frame AND the stacked band rows).
+    flat = _banded_flat(shingled, portable=portable, keep=("sh",))
+    pairs = _pairs_from_flat(flat)
+    sa = flat.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("sh_a"))
+    sb = flat.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("sh_b"))
     return (
         pairs.join(sa, "a_id")
         .join(sb, "b_id")
@@ -315,7 +333,7 @@ SIMHASH_BITS = 64
 SIMHASH_BANDS = 4  # 4 x 16-bit bands: hamming <= 3 ALWAYS shares a band
 
 
-def with_simhash(corpus: DataFrame) -> DataFrame:
+def with_simhash_expr(corpus: DataFrame) -> DataFrame:
     """64-bit SimHash per doc from token md5 values — per-row expressions.
 
     md5 is evaluated once per token into a 2-word array, then each of the
@@ -327,7 +345,10 @@ def with_simhash(corpus: DataFrame) -> DataFrame:
     to PARSE inside a nested lambda — Spark 4 parser quirk.) The
     fingerprint lands in a signed bigint; bit 63 makes it negative, which
     is fine — every consumer (banding, xor, bit_count) is bit-pattern math.
-    """
+
+    This is the pure-SQL reference form (the construct the DuckDB oracle
+    mirrors); the production fingerprint pass is `with_simhash` below,
+    pinned bit-equal to this one by test."""
     bit_terms = []
     for k in range(SIMHASH_BITS):
         w, p = k // 32, k % 32
@@ -346,6 +367,98 @@ def with_simhash(corpus: DataFrame) -> DataFrame:
         f" vs -> ({' + '.join(bit_terms)})), 1)"
     )
     return corpus.withColumn("simhash", F.expr(expr))
+
+
+def with_simhash(corpus: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 64-bit SimHash per doc — Arrow-batched kernel.
+
+    Same construction as `with_simhash_expr` (per-token md5 → two 32-bit
+    words, bit k of the fingerprint = sign of Σ ±1 over word-bit k), but
+    computed batch-at-a-time in numpy: the 64 interpreted HOF vote folds
+    were the whole cost of the expression form (64 × n_tokens lambda
+    evaluations per doc — 2.1-2.4 s of the 5 s driver-scale simhash
+    query), while every step here is INTEGER arithmetic, so the result
+    is bit-identical by construction (pinned by test). Token md5s are
+    memoized per batch (corpus vocabularies repeat heavily); only
+    (doc_id, tokens) crosses into Python and (doc_id, simhash) crosses
+    back. Bit 63 wraps to a negative signed bigint exactly like the SQL
+    form (uint64 accumulate, reinterpreted int64)."""
+    from pyspark.sql import types as T
+
+    prepped = corpus.select("doc_id", "tokens")
+    id_field = prepped.schema["doc_id"]
+    out_schema = T.StructType(
+        [
+            T.StructField("doc_id", id_field.dataType, id_field.nullable),
+            T.StructField("simhash", T.LongType()),
+        ]
+    )
+
+    def fn(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        cache: dict[str, tuple[int, int]] = {}
+
+        def words(t: str) -> tuple[int, int]:
+            v = cache.get(t)
+            if v is None:
+                h = hashlib.md5(t.encode("utf-8")).hexdigest()
+                v = (int(h[:8], 16), int(h[8:16], 16))
+                cache[t] = v
+            return v
+
+        shifts = np.arange(32, dtype=np.int64)
+        weights = np.left_shift(
+            np.ones(64, dtype=np.uint64), np.arange(64, dtype=np.uint64)
+        )
+        for pdf in batches:
+            toks_col = list(pdf["tokens"])
+            counts = np.fromiter(
+                (len(t) for t in toks_col), dtype=np.int64, count=len(toks_col)
+            )
+            flat = [words(t) for doc in toks_col for t in doc]
+            if len(flat) == 0 or (counts == 0).any():
+                # degenerate docs (empty token arrays) — per-doc fallback,
+                # never hit for whitespace-split corpora ([''] has size 1)
+                fps = []
+                for doc in toks_col:
+                    votes = np.zeros(64, dtype=np.int64)
+                    for t in doc:
+                        w0, w1 = words(t)
+                        b = np.concatenate(
+                            [(w0 >> shifts) & 1, (w1 >> shifts) & 1]
+                        )
+                        votes += 2 * b - 1
+                    fps.append(
+                        int(
+                            ((votes > 0).astype(np.uint64) * weights)
+                            .sum(dtype=np.uint64)
+                            .view(np.int64)
+                        )
+                    )
+                yield pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "simhash": np.array(fps, dtype=np.int64)}
+                )
+                continue
+            W = np.array(flat, dtype=np.int64)  # N x 2
+            B = np.concatenate(
+                [(W[:, 0:1] >> shifts) & 1, (W[:, 1:2] >> shifts) & 1], axis=1
+            )  # N x 64 in token order
+            offs = np.zeros(len(counts), dtype=np.int64)
+            np.cumsum(counts[:-1], out=offs[1:])
+            S = np.add.reduceat(B, offs, axis=0)  # docs x 64 popcounts
+            votes = 2 * S - counts[:, None]
+            fp = (
+                ((votes > 0).astype(np.uint64) * weights[None, :])
+                .sum(axis=1, dtype=np.uint64)
+                .view(np.int64)
+            )
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "simhash": fp})
+
+    return prepped.mapInPandas(fn, schema=out_schema)
 
 
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
@@ -769,12 +882,26 @@ def embedding_near_dup_bucketed(
     """Sign-LSH bucketed near-dup pairs: candidates from band agreement,
     verified with the exact cosine. Same output columns as the brute-force
     `embedding_near_dup_pairs`; recall < 1 by design (see module notes),
-    tested against the brute-force oracle in tests/test_ops.py."""
+    tested against the brute-force oracle in tests/test_ops.py.
+
+    Verify path (round 6): the per-pair JVM HOF dot fold was the wall at
+    scale — sum over buckets of |bucket|^2 pairs, each paying a 64-double
+    zip_with+aggregate (52.8M candidate pairs at 20k vectors: 13.8-16.2 s
+    on the driver bench). Buckets are WHOLE groups by construction (only
+    n_bands * 2^(n_bits/n_bands) of them), so the verify now ships each
+    bucket's vectors ONCE to a vectorized numpy kernel
+    (groupBy(band).applyInPandas) that accumulates all pairwise dots
+    dimension-by-dimension in the SAME left-to-right IEEE order as the
+    fold — acc_d+1 = acc_d + a[d]*b[d] elementwise over the whole bucket
+    matrix — so every returned cosine is BIT-IDENTICAL to the HOF form
+    (threshold + round happen on identical doubles). Python boundary
+    traffic is vectors-per-bucket (80k narrow rows in, passing pairs
+    out), never candidate pairs. The explicit numbered repartition on the
+    band key defeats AQE's byte-blind coalescing (the banded frame is
+    ~44 MB — AQE would run the whole 13.5-GFLOP verify in 1-2 tasks)."""
     e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    # norm computed ONCE per vector, not per candidate pair: the verify
-    # join multiplies candidates ~|bucket|x, so per-pair work must be a
-    # single dot fold (measured 11.1s -> 6.2s at sf0.1 with this change;
-    # same float values — sqrt(aggregate(...)) is unchanged per vector)
+    # norm computed ONCE per vector in the JVM (sqrt of the HOF square
+    # fold), carried into the kernel so its value is unchanged bit-for-bit
     q = _barrier(
         e.withColumn(
             "nrm",
@@ -800,21 +927,65 @@ def embedding_near_dup_bucketed(
             ])
         ).alias("bb"),
     ).select("vec_id", "emb", "nrm", "bb.band_id", "bb.band_val")
-    a = banded.select(
-        F.col("vec_id").alias("a_id"), F.col("emb").alias("emb_a"),
-        F.col("nrm").alias("nrm_a"), "band_id", "band_val",
+
+    from pyspark.sql import types as T
+
+    id_type = banded.schema["vec_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("a_id", id_type),
+            T.StructField("b_id", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
     )
-    b = banded.select(
-        F.col("vec_id").alias("b_id"), F.col("emb").alias("emb_b"),
-        F.col("nrm").alias("nrm_b"), "band_id", "band_val",
+    thr = float(min_cosine)
+
+    def _verify_bucket(pdf):
+        import numpy as np
+        import pandas as pd
+
+        n = len(pdf)
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)  # triu below then means a_id < b_id
+        ids = ids[order]
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])[order]
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)[order]
+        out_a, out_b, out_c = [], [], []
+        # row blocks bound the pair matrix to ~32 MB however big a bucket gets
+        blk = max(1, 4_000_000 // n)
+        Mt = np.ascontiguousarray(M.T)
+        for s in range(0, n, blk):
+            # dgemm with K = vector dim: the k-loop is the innermost
+            # sequential register accumulation, measured BIT-IDENTICAL to
+            # the explicit d=0..63 add-in-order fold on this BLAS (maxdiff
+            # exactly 0 over 2.9M pair dots) and ~50x faster than the
+            # dimension-at-a-time outer-product accumulation, which is
+            # memory-bandwidth-bound (acc re-streamed 64 times). The
+            # contract small-SF oracle hashes re-verify equality end-to-end.
+            acc = M[s : s + blk] @ Mt
+            cos = acc / np.multiply.outer(nrm[s : s + blk], nrm)
+            bi, j = np.nonzero(cos >= thr)
+            keep = (bi + s) < j  # a_id < b_id (ids ascending by order)
+            bi, j = bi[keep], j[keep]
+            out_a.append(ids[bi + s])
+            out_b.append(ids[j])
+            out_c.append(cos[bi, j])
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(out_a),
+                "b_id": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    parallelism = banded.sparkSession.sparkContext.defaultParallelism
+    pairs = (
+        banded.repartition(max(4 * parallelism, 64), "band_id", "band_val")
+        .groupBy("band_id", "band_val")
+        .applyInPandas(_verify_bucket, schema=out_schema)
     )
-    dot = F.expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
     return (
-        a.join(b, ["band_id", "band_val"])
-        .where(F.col("a_id") < F.col("b_id"))
-        .withColumn("cosine", dot / (F.col("nrm_a") * F.col("nrm_b")))
-        .where(F.col("cosine") >= min_cosine)
-        .select("a_id", "b_id", F.round("cosine", 4).alias("cosine_r"))
+        pairs.select("a_id", "b_id", F.round("cosine", 4).alias("cosine_r"))
         .dropDuplicates(["a_id", "b_id"])
     )
 

@@ -169,6 +169,16 @@ def range_pair_join(
         F.col(seq_col).alias("seq"),
         epoch_us(events, ts_col).alias("ts_us"),
     )
+    # User-NUMBERED repartition on the join keys (scale-adaptive: derived
+    # from the session's parallelism, not a constant): the pair join's
+    # post-shuffle stage is compute-dense over narrow rows (every ±1-bucket
+    # candidate pays the gap filter), and AQE's byte-targeted coalescing
+    # collapsed it to ~4 tasks at driver scale (measured: the join stages
+    # ran 4 tasks with a straggler tail; the linking-verify lesson,
+    # PLANS.md §18). Explicit numbering is exempt from AQE coalescing and
+    # both sides share the partitioning, so the join adds no extra
+    # exchange.
+    n_part = 4 * events.sparkSession.sparkContext.defaultParallelism
     a = base.select(
         "k",
         F.col("seq").alias("a_seq"),
@@ -179,13 +189,13 @@ def range_pair_join(
                 F.expr(f"ts_us div {win_us}") + 1,
             )
         ).alias("probe_bucket"),
-    )
+    ).repartition(n_part, "k", "probe_bucket")
     b = base.select(
         "k",
         F.col("seq").alias("b_seq"),
         F.col("ts_us").alias("b_ts_us"),
         F.expr(f"ts_us div {win_us}").alias("bucket"),
-    )
+    ).repartition(n_part, "k", "bucket")
     return (
         a.alias("a")
         .join(

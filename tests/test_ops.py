@@ -182,6 +182,70 @@ def test_simhash_is_64_bit_and_recall_exact(spark):
     assert got == brute
 
 
+def test_simhash_kernel_bit_equals_expression_form(spark):
+    """Round-6 invariant: the Arrow-batched numpy fingerprint pass
+    (with_simhash) is BIT-IDENTICAL to the pure-SQL reference form the
+    DuckDB oracle mirrors (with_simhash_expr) — including unicode tokens,
+    empty-string tokens, and a doc with an empty token array (the numpy
+    reduceat fallback branch)."""
+    from openue_spark.ops.dedup import with_simhash, with_simhash_expr
+
+    rng = np.random.RandomState(7)
+    vocab = [f"t{i}" for i in range(40)] + ["héllo", "🦊", "", "日本語"]
+    rows = [
+        (i, list(rng.choice(vocab, size=rng.randint(1, 30))))
+        for i in range(60)
+    ] + [(1000, [""]), (1001, [])]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<string>")
+    got = {r.doc_id: r.simhash for r in with_simhash(df).collect()}
+    want = {
+        r.doc_id: r.simhash
+        for r in with_simhash_expr(df).select("doc_id", "simhash").collect()
+    }
+    assert got == want
+
+
+def test_embedding_bucketed_cosines_bit_equal_hof_fold(spark):
+    """Round-6 invariant: the per-bucket numpy verify kernel returns the
+    SAME rounded cosine as the sequential JVM HOF fold for every reported
+    pair (the kernel's dgemm accumulates over the vector dim in the same
+    left-to-right order)."""
+    from pyspark.sql import functions as F
+
+    from openue_spark.ops.dedup import embedding_near_dup_bucketed
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(30, 64)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(30)]
+    # plant near-duplicates so pairs exist
+    rows += [(100 + i, [float(x) for x in base[i] + 0.01 * rng.randn(64)]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = embedding_near_dup_bucketed(df, min_cosine=0.2, dim=64).collect()
+    assert got, "fixture must produce pairs"
+    e = df.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
+    a = e.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("emb_a"))
+    b = e.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("emb_b"))
+    dot = F.expr(
+        "aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)"
+    )
+    nrm = lambda c: F.sqrt(  # noqa: E731
+        F.expr(f"aggregate(transform({c}, x -> x * x), 0D, (acc, v) -> acc + v)")
+    )
+    ref = {
+        (r.a_id, r.b_id): r.cos_r
+        for r in a.crossJoin(b)
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(dot / (nrm("emb_a") * nrm("emb_b")), 4).alias("cos_r"),
+        )
+        .collect()
+    }
+    for r in got:
+        assert ref[(r.a_id, r.b_id)] == r.cosine_r
+
+
 def test_ngram_hot_shingle_capped(spark):
     """A stopword trigram shared by every doc must not blow up the pair
     join: with max_df below its document frequency the posting list is
