@@ -805,11 +805,15 @@ def q_p4_subword_alignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         " struct('zzzmissing' AS subject, 'rel_c' AS predicate,"
         "  element_at(tk, 1) AS object))"
     )
-    corpus = (
+    # same tokenize barrier as _synth_gold_corpus: `tk` feeds gold_expr's
+    # six element_at references and the downstream seam projection — the
+    # regex would otherwise re-evaluate per reference (CollapseProject)
+    tokd = (
         docs.select(F.col("doc_id").alias("text_id"), "text", toks.alias("tk"))
         .where(F.size("tk") >= 4)
-        .select("text_id", "text", F.expr(gold).alias("gold"))
+        .localCheckpoint(eager=False)
     )
+    corpus = tokd.select("text_id", "text", F.expr(gold).alias("gold"))
     bc = spark.sparkContext.broadcast(SubwordTokenizer(3))
     feats = build_gold_ner_features(corpus, tokenizer_bc=bc)
     return feats.select(
@@ -973,16 +977,24 @@ def q_w4_suffix_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _token_islands(docs: DataFrame, flag_col) -> DataFrame:
+def _token_stream(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, token): the positional token explode behind the
+    islands decodes — built once and shareable (a5 runs TWO decodes over
+    the same corpus; sharing the barriered stream saves a full
+    tokenize+explode pass)."""
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return docs.where(F.length(F.trim("text")) > 0).select(
+        "doc_id", F.posexplode(toks).alias("pos", "token")
+    )
+
+
+def _token_islands(docs: DataFrame, flag_col, stream: DataFrame | None = None) -> DataFrame:
     """Gaps-and-islands chunk decode over a token stream: maximal runs of
     tokens satisfying `flag_col` become chunks (SQL phrasing of the
     reference's sequential BIO state machine, model.py:395-421 — open on
     flag, close when the flag drops)."""
-    toks = F.split(F.trim(F.col("text")), r"\s+")
-    t = (
-        docs.where(F.length(F.trim("text")) > 0)
-        .select("doc_id", F.posexplode(toks).alias("pos", "token"))
-        .withColumn("f", flag_col)
+    t = (_token_stream(docs) if stream is None else stream).withColumn(
+        "f", flag_col
     )
     w_f = Window.partitionBy("doc_id", "f").orderBy("pos")
     t = t.withColumn("grp", F.col("pos") - F.row_number().over(w_f))
@@ -1018,8 +1030,11 @@ def q_a5_chunk_prf_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface) match — the seqeval-style set intersection the reference uses
     for NER P/R."""
     docs = _t(spark, sf_dir, "documents")
-    pred = _token_islands(docs, F.when(F.length("token") >= 5, 1).otherwise(0))
-    gold = _token_islands(docs, F.when(F.col("token").rlike("^[st]"), 1).otherwise(0))
+    stream = _token_stream(docs).localCheckpoint(eager=False)
+    pred = _token_islands(docs, F.when(F.length("token") >= 5, 1).otherwise(0), stream)
+    gold = _token_islands(
+        docs, F.when(F.col("token").rlike("^[st]"), 1).otherwise(0), stream
+    )
     both = (
         pred.select("doc_id", "start_pos", "chunk").withColumn("p", F.lit(1))
         .join(
@@ -1296,14 +1311,30 @@ def q_streaming_event_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only reachable through a caller-held DataFrame, if any) — drop it so
     # repeated calls (bench best-of-N passes) don't accumulate tables
     spark.catalog.dropTempView(f"streaming_event_rates_{_STREAM_SINK_SEQ[0] - 1}")
-    q = (
-        rates.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # The stateful agg keys on ~dozens of (window, type) groups; shuffle
+    # partitions at stream START become the state-store partition count,
+    # and each store commits its own delta file per micro-batch — at 32
+    # partitions the drain paid 32 file commits for a trivial state
+    # (measured best-of-3: 1.35 s @32 -> 0.91 s @8). Scale-adaptive
+    # (cores//4, floor 4), restored after the drain so batch queries keep
+    # the session's tuned width.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(4, spark.sparkContext.defaultParallelism // 4)),
+        )
+        q = (
+            rates.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.table(sink)
     return out.select(
         epoch_us(out, "win_start").alias("win_start_us"),
@@ -1349,14 +1380,26 @@ def q_streaming_event_rates_append(spark: SparkSession, sf_dir: str) -> DataFram
     _STREAM_SINK_SEQ[0] += 1
     sink = f"streaming_append_{_STREAM_SINK_SEQ[0]}"
     spark.catalog.dropTempView(f"streaming_append_{_STREAM_SINK_SEQ[0] - 1}")
-    q = (
-        rates.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # same state-partition narrowing as streaming_event_rates (the
+    # watermarked append drain commits per-partition state files twice —
+    # data batch + watermark-advancing no-data batch)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions", None)
+    try:
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(max(4, spark.sparkContext.defaultParallelism // 4)),
+        )
+        q = (
+            rates.writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_parts is not None:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     out = spark.table(sink)
     return out.select(
         F.unix_micros("win_start").alias("win_start_us"),
@@ -1827,7 +1870,10 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cent = kmeans_centroids(emb)
     approx = ivf_topk(emb, queries_df, k=10, nprobe=13, centroids=cent)
-    exact = brute_force_topk(emb, queries_df, k=10)
+    # the exact side feeds BOTH the intersect and the totals aggregate —
+    # without a barrier the whole brute-force scored window re-runs per
+    # consumer (measured ~2x on the driver-scale row)
+    exact = brute_force_topk(emb, queries_df, k=10).localCheckpoint(eager=False)
     hits = (
         approx.select("query_id", "neighbor_id")
         .intersect(exact.select("query_id", "neighbor_id"))

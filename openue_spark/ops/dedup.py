@@ -184,27 +184,60 @@ def minhash_candidate_pairs(docs: DataFrame, portable: bool = False) -> DataFram
 def _banded_flat(
     shingled: DataFrame, portable: bool = False, keep: tuple[str, ...] = ()
 ) -> DataFrame:
-    """(doc_id[, *keep], band0..bandN-1) materialized behind ONE barrier.
+    """(doc_id[, sh], band0..bandN-1) materialized behind ONE barrier.
 
-    The barrier matters for two reasons (round-6 restructure of the r4
-    stacked-rows barrier): (a) the band self-join evaluates each side's
-    map stage independently (the a/b projections rename different
+    The whole signature pipeline — shingle set, 8 min-hash components,
+    band hashes, and (with keep=("sh",)) the verify-side shingle hashes —
+    is ONE let-bound struct expression: the shingle set binds once as
+    `sg` via the single-element-transform trick and every sig/band/sh
+    field computes from the bound value. Without the binding,
+    CollapseProject inlines the shingle construction into all 9
+    references (8 sig transforms + sh) and the k-gram pass re-runs 9x
+    per row — measured 3.2 s of the 4.3 s driver-scale query. Each sig_i
+    is referenced by exactly one band hash, so sigs inline into the band
+    fields without their own binding.
+
+    The barrier matters for two more reasons (round-6 restructure of the
+    r4 stacked-rows barrier): (a) the band self-join evaluates each
+    side's map stage independently (the a/b projections rename different
     columns, so AQE's stage cache does not unify them), and without a
-    barrier the full signature pipeline — 8 md5s per shingle in portable
-    mode — runs once PER SIDE (measured 35-40% at sf0.1); (b) placing
-    the barrier on the FLAT per-doc frame instead of the exploded band
-    rows lets the verify path reuse the SAME materialization for its
-    shingle-hash lookups (`keep=("sh",)`), collapsing what used to be
-    two checkpoints (shingle strings ~90 MB + stacked rows) into one
-    ~40 MB columnar store that never holds a shingle string. simhash/
-    ngram were A/B'd with a band barrier and got SLOWER (their per-side
-    recompute is just shifts/explode over a stored fingerprint) —
-    minhash alone pays."""
-    banded = with_band_hashes(
-        with_minhash_signature(shingled, portable=portable), portable=portable
+    barrier the signature pipeline runs once PER SIDE (measured 35-40%
+    at sf0.1); (b) the FLAT per-doc frame lets the verify path reuse the
+    SAME materialization for its shingle-hash lookups, collapsing what
+    used to be two checkpoints (shingle strings ~90 MB + stacked rows)
+    into one ~40 MB columnar store that never holds a shingle string.
+    simhash/ngram were A/B'd with a band barrier and got SLOWER (their
+    per-side recompute is just shifts/explode over a stored
+    fingerprint) — minhash alone pays."""
+    rows_per_band = N_HASHES // N_BANDS
+    want_sh = "sh" in keep
+    if portable:
+        src = "shingles"
+        sig = lambda i: (  # noqa: E731
+            f"array_min(transform(sg, s -> md5(concat(s, '#{i}'))))"
+        )
+        band = lambda b: "md5(concat_ws('|', " + ", ".join(  # noqa: E731
+            sig(b * rows_per_band + r) for r in range(rows_per_band)
+        ) + f")) AS band{b}"
+        sh_field = "transform(sg, s -> xxhash64(s)) AS sh"
+    else:
+        src = "sh"
+        sig = lambda i: (  # noqa: E731
+            f"array_min(transform(sg, h -> xxhash64(h, {i})))"
+        )
+        band = lambda b: "xxhash64(" + ", ".join(  # noqa: E731
+            sig(b * rows_per_band + r) for r in range(rows_per_band)
+        ) + f") AS band{b}"
+        sh_field = "sg AS sh"
+    fields = ([sh_field] if want_sh else []) + [band(b) for b in range(N_BANDS)]
+    expr = (
+        f"element_at(transform(array({src}),"
+        f" sg -> struct({', '.join(fields)})), 1)"
     )
-    return _barrier(
-        banded.select("doc_id", *keep, *[f"band{b}" for b in range(N_BANDS)])
+    packed = _barrier(shingled.select("doc_id", F.expr(expr).alias("mh")))
+    out_cols = (["sh"] if want_sh else []) + [f"band{b}" for b in range(N_BANDS)]
+    return packed.select(
+        "doc_id", *[F.col(f"mh.{c}").alias(c) for c in out_cols]
     )
 
 
@@ -247,11 +280,9 @@ def minhash_verified_pairs(
     the shared round-to-4)."""
     corpus = _corpus(docs)
     if portable:
-        shingled = with_shingles(corpus).select(
-            "doc_id",
-            "shingles",
-            F.expr("transform(shingles, s -> xxhash64(s))").alias("sh"),
-        )
+        # sh (the int64 verify hashes) is derived inside _banded_flat's
+        # let-bound struct, so the shingle set is evaluated exactly once
+        shingled = with_shingles(corpus).select("doc_id", "shingles")
     else:
         shingled = with_shingle_hashes(corpus).select("doc_id", "sh")
     # ONE materialization for the whole operator: the un-barriered shingle
@@ -777,21 +808,125 @@ def embedding_near_dup_pairs(embeddings: DataFrame, min_cosine: float = 0.95) ->
     """Brute-force cosine near-dup pairs over an embedding column.
 
     Baseline (exact) variant and the recall oracle for
-    `embedding_near_dup_bucketed` (the scale path). O(n^2) self cross
-    join — never the 100 TB path.
-    """
-    e = embeddings.select("vec_id", F.col("embedding").cast("array<double>").alias("emb"))
-    a = e.select(F.col("vec_id").alias("a_id"), F.col("emb").alias("emb_a"))
-    b = e.select(F.col("vec_id").alias("b_id"), F.col("emb").alias("emb_b"))
-    dot = F.expr("aggregate(zip_with(emb_a, emb_b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)")
-    na = F.sqrt(F.expr("aggregate(transform(emb_a, x -> x * x), 0D, (acc, v) -> acc + v)"))
-    nb = F.sqrt(F.expr("aggregate(transform(emb_b, x -> x * x), 0D, (acc, v) -> acc + v)"))
-    return (
-        a.crossJoin(b)
-        .where(F.col("a_id") < F.col("b_id"))
-        .withColumn("cosine", dot / (na * nb))
-        .where(F.col("cosine") >= min_cosine)
-        .select("a_id", "b_id", F.round("cosine", 4).alias("cosine_r"))
+    `embedding_near_dup_bucketed` (the scale path). Exhaustive O(n^2)
+    pairs — never the 100 TB path — but executed as a BLOCKED all-pairs
+    matmul (round 6): the old crossJoin + per-pair JVM HOF fold cost
+    152.8 s at 20k vectors (200M folds); each vector is now replicated
+    once per partner block, the G(G+1)/2 unordered block pairs become
+    applyInPandas groups, and each group runs one dgemm of its two blocks
+    (same kernel argument as embedding_near_dup_bucketed: K = vector dim
+    keeps the k-loop a sequential register accumulation, measured
+    bit-identical to the left-to-right fold). Every unordered vector pair
+    lands in exactly one group, so no dedup is needed; threshold in
+    numpy, round in Spark — output values bit-identical to the crossJoin
+    form."""
+    e = embeddings.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("emb")
+    )
+    q = _barrier(
+        e.withColumn(
+            "nrm",
+            F.sqrt(
+                F.expr(
+                    "aggregate(transform(emb, x -> x * x), 0D, (acc, v) -> acc + v)"
+                )
+            ),
+        )
+    )
+    sc = embeddings.sparkSession.sparkContext
+    n_blocks = max(4, int(2 * sc.defaultParallelism ** 0.5))
+    tagged = q.withColumn(
+        "gid", F.pmod(F.col("vec_id"), F.lit(n_blocks)).cast("int")
+    )
+    replicated = tagged.select(
+        "vec_id",
+        "emb",
+        "nrm",
+        "gid",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {n_blocks - 1}),"
+                " p -> struct(least(gid, p) AS glo, greatest(gid, p) AS ghi))"
+            )
+        ).alias("gp"),
+    ).select("vec_id", "emb", "nrm", "gid", "gp.glo", "gp.ghi")
+
+    from pyspark.sql import types as T
+
+    id_type = replicated.schema["vec_id"].dataType
+    out_schema = T.StructType(
+        [
+            T.StructField("a_id", id_type),
+            T.StructField("b_id", id_type),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+    )
+    thr = float(min_cosine)
+
+    def _cross_block(key, pdf):
+        import numpy as np
+        import pandas as pd
+
+        lo, hi = key
+        ids = pdf["vec_id"].to_numpy()
+        M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["emb"]])
+        nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+        out_a, out_b, out_c = [], [], []
+        if lo == hi:
+            order = np.argsort(ids)
+            ids, M, nrm = ids[order], M[order], nrm[order]
+            n = len(ids)
+            blk = max(1, 4_000_000 // max(n, 1))
+            Mt = np.ascontiguousarray(M.T)
+            for s in range(0, n, blk):
+                cos = (M[s : s + blk] @ Mt) / np.multiply.outer(
+                    nrm[s : s + blk], nrm
+                )
+                bi, j = np.nonzero(cos >= thr)
+                keep = (bi + s) < j
+                bi, j = bi[keep], j[keep]
+                out_a.append(ids[bi + s])
+                out_b.append(ids[j])
+                out_c.append(cos[bi, j])
+        else:
+            la = pdf["gid"].to_numpy() == lo
+            ia, ib = ids[la], ids[~la]
+            Ma, Mb = M[la], M[~la]
+            na_, nb_ = nrm[la], nrm[~la]
+            n = max(len(ib), 1)
+            blk = max(1, 4_000_000 // n)
+            Mbt = np.ascontiguousarray(Mb.T)
+            for s in range(0, len(ia), blk):
+                cos = (Ma[s : s + blk] @ Mbt) / np.multiply.outer(
+                    na_[s : s + blk], nb_
+                )
+                bi, j = np.nonzero(cos >= thr)
+                u, v = ia[bi + s], ib[j]
+                out_a.append(np.minimum(u, v))
+                out_b.append(np.maximum(u, v))
+                out_c.append(cos[bi, j])
+        if not out_a:
+            out_a = [np.array([], dtype=ids.dtype)]
+            out_b = [np.array([], dtype=ids.dtype)]
+            out_c = [np.array([], dtype=np.float64)]
+        return pd.DataFrame(
+            {
+                "a_id": np.concatenate(out_a),
+                "b_id": np.concatenate(out_b),
+                "cosine": np.concatenate(out_c),
+            }
+        )
+
+    n_groups = n_blocks * (n_blocks + 1) // 2
+    pairs = (
+        replicated.repartition(
+            min(n_groups, max(16, sc.defaultParallelism)), "glo", "ghi"
+        )
+        .groupBy("glo", "ghi")
+        .applyInPandas(_cross_block, schema=out_schema)
+    )
+    return pairs.select(
+        "a_id", "b_id", F.round("cosine", 4).alias("cosine_r")
     )
 
 
@@ -978,9 +1113,16 @@ def embedding_near_dup_bucketed(
             }
         )
 
+    # Only n_bands * 2^(bits/band) distinct group keys exist (64 at the
+    # defaults), so partitions beyond that are pure task overhead; below
+    # the core count they serialize the kernel. A/B at driver scale:
+    # 128 -> 1.44 s, 64 -> 1.17 s, 32 -> 1.14 s (and 0.78 s vs 1.28 s at
+    # sf0.1, where per-task applyInPandas setup dominates). Numbered, so
+    # AQE cannot coalesce the compute-dense stage away.
     parallelism = banded.sparkSession.sparkContext.defaultParallelism
+    n_groups = n_bands * (1 << (n_bits // n_bands))
     pairs = (
-        banded.repartition(max(4 * parallelism, 64), "band_id", "band_val")
+        banded.repartition(min(n_groups, max(16, parallelism)), "band_id", "band_val")
         .groupBy("band_id", "band_val")
         .applyInPandas(_verify_bucket, schema=out_schema)
     )

@@ -75,6 +75,8 @@ def two_hop_reach(
     not pairs. Defaults are exact (the oracle form).
     """
     sym = symmetrize(edges)
+    if max_mid_degree is None and not approx:
+        return _two_hop_reach_exact(sym)
     hop1 = sym.select(F.col("a"), F.col("b").alias("m"))
     mids = sym
     if max_mid_degree is not None:
@@ -98,6 +100,48 @@ def two_hop_reach(
     return paths.groupBy(F.col("a").alias("entity")).agg(
         counter.cast("long").alias("n_two_hop")
     )
+
+
+def _two_hop_reach_exact(sym: DataFrame) -> DataFrame:
+    """Exact two-hop reach with the hub-wedge blowup factored out.
+
+    The naive self-join materializes sum over mids of deg(m)^2 wedge rows
+    — quadratic in hub degree (measured 22 s at driver sf1.0: 25 hub mids
+    of degree ~6400 produced ~1.0B wedges). But a source with exactly ONE
+    distinct neighbor m has 2-hop set N(m) \\ {a} by definition, so its
+    count is the CLOSED FORM deg(m) - 1 — no wedge rows at all. Only
+    multi-neighbor sources (the hubs themselves and their connectors —
+    a vanishing fraction in hub-shaped graphs, and never worse than the
+    naive join otherwise) run the wedge enumeration, whose cost is then
+    sum over THEIR mids' degrees, not squares. Same output contract as
+    the naive form, verified by the frozen DuckDB oracle: sources with
+    zero 2-hop targets stay ABSENT (the deg(m) - 1 = 0 case is filtered,
+    matching the empty groupBy group), counts are exact distincts."""
+    nb = (
+        sym.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"), F.max("b").alias("m1"))
+        .localCheckpoint(eager=False)  # three consumers below
+    )
+    deg_of = nb.select(F.col("a").alias("m1"), F.col("deg").alias("mdeg"))
+    singles = (
+        nb.where(F.col("deg") == 1)
+        .join(deg_of, "m1")
+        .where(F.col("mdeg") > 1)  # deg(m)-1 = 0 -> absent, like the naive form
+        .select(
+            F.col("a").alias("entity"),
+            (F.col("mdeg") - 1).cast("long").alias("n_two_hop"),
+        )
+    )
+    multi_src = nb.where(F.col("deg") > 1).select("a")
+    hop1 = sym.join(multi_src, "a", "left_semi").select(
+        F.col("a"), F.col("b").alias("m")
+    )
+    hop2 = sym.select(F.col("a").alias("m"), F.col("b"))
+    paths = hop1.join(hop2, "m").where(F.col("a") != F.col("b"))
+    multis = paths.groupBy(F.col("a").alias("entity")).agg(
+        F.count_distinct("b").cast("long").alias("n_two_hop")
+    )
+    return singles.unionByName(multis)
 
 
 def pagerank_int(
@@ -270,6 +314,13 @@ def connected_components(edges: DataFrame) -> DataFrame:
     )
 
 
+# closure-side broadcast gate for triangle_stats: below this edge count
+# the hashed closure relation is a few dozen MB and the wedge stream
+# probes it shuffle-free; above it the relation build + fused-stage
+# serialization LOSES to a shuffled-hash join (measured at 12M edges)
+TRIANGLE_BROADCAST_MAX_EDGES = 1_000_000
+
+
 def triangle_stats(edges: DataFrame) -> DataFrame:
     """One row: (n_nodes, n_edges, n_wedges, n_triangles) of the
     undirected simple graph induced by the (src, dst) edge list.
@@ -279,12 +330,18 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     probes), so n_triangles / n_wedges is the closure rate the plan
     actually pays for. All four counts are exact BIGINTs.
     """
+    # und and oriented each feed MULTIPLE count subtrees below; without
+    # barriers the upstream edge construction (for the co-occurrence
+    # contract row: a 6M-row lineitem self-join) re-ran once per subtree
+    # (measured 62.5 s at driver sf1.0 -> 9.5 s with the barriers + the
+    # analytic wedge count).
     und = (
         edges.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .where(F.col("u") != F.col("v"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("u").alias("node"))
@@ -308,6 +365,7 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("t"),
             F.when(u_first, F.col("dv")).otherwise(F.col("du")).alias("dt"),
         )
+        .localCheckpoint(eager=False)
     )
     o1 = oriented.select("s", F.col("t").alias("b"), F.col("dt").alias("db"))
     o2 = oriented.select("s", F.col("t").alias("c"), F.col("dt").alias("dc"))
@@ -316,10 +374,39 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
         | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
     )
     closures = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
-    tri = wedges.join(closures, ["b", "c"])
+    # The closure probe is |wedges| >> |edges| (413M wedges vs 12M edges
+    # at driver sf1.0), and sorting the whole wedge stream is the wall.
+    # Measured A/B on that graph: sort-merge 75.6 s, broadcast of the
+    # 12M-edge closure side 48.0 s (the single fused probe stage loses
+    # its parallelism headroom and pays the 300 MB relation build),
+    # shuffled-hash 16.7 s. At SMALL edge counts the ordering inverts —
+    # a tiny closure side broadcast-joins for free while a forced SHJ
+    # still shuffles every wedge — so the strategy is GATED on the edge
+    # count (read off the already-checkpointed frame; the n_edges
+    # aggregate pays this job anyway), the same bounded-broadcast rule as
+    # linking.BROADCAST_MAX_MENTIONS. The edge side is the provably
+    # smaller side (|E| <= |wedges| when any node has outdeg >= 2), so
+    # shuffled-hash is safe at any scale; wedge-join variants (SHJ,
+    # numbered repartition) measured within noise of plain SMJ.
+    if und.count() <= TRIANGLE_BROADCAST_MAX_EDGES:
+        tri = wedges.join(F.broadcast(closures), ["b", "c"])
+    else:
+        tri = wedges.join(closures.hint("shuffle_hash"), ["b", "c"])
+    # n_wedges analytically: under the head total order exactly C(d, 2)
+    # ordered head pairs survive per source of oriented outdegree d —
+    # identical to counting the enumerated wedge rows, without running
+    # the wedge join twice (once for its count, once under the closure).
+    n_wedges = (
+        oriented.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("d"))
+        .agg(
+            F.sum(F.expr("d * (d - 1) div 2")).cast("long").alias("n_wedges")
+        )
+        .select(F.coalesce(F.col("n_wedges"), F.lit(0).cast("long")).alias("n_wedges"))
+    )
     return (
         deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
         .crossJoin(und.agg(F.count(F.lit(1)).cast("long").alias("n_edges")))
-        .crossJoin(wedges.agg(F.count(F.lit(1)).cast("long").alias("n_wedges")))
+        .crossJoin(n_wedges)
         .crossJoin(tri.agg(F.count(F.lit(1)).cast("long").alias("n_triangles")))
     )

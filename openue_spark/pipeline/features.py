@@ -596,12 +596,19 @@ def build_interactive_features(
         "text_id",
         input_ids.alias("input_ids"),
         F.expr("transform(hay, w -> 1)").alias("attention_mask"),
+        # h_pos/t_pos are LET-BOUND once per entity via the single-element
+        # transform: h_s and h_e (and t_s/t_e) each reference the same
+        # locate scan, and lambda bodies get no subexpression elimination —
+        # the un-bound form ran every scan twice (measured ~35% of the
+        # interactive builder at driver scale).
         F.expr(
-            f"transform(ents, e -> struct("
-            f" cast({h_pos} AS int) - 1 AS h_s,"
-            f" cast({h_pos} AS int) - 1 + size(e.h_toks) AS h_e,"
-            f" cast({t_pos} AS int) - 1 AS t_s,"
-            f" cast({t_pos} AS int) - 1 + size(e.t_toks) AS t_e,"
-            f" map({rel_map})[e.pred] AS r))"
+            f"transform(ents, e -> element_at(transform("
+            f" array(struct({h_pos} AS hp, {t_pos} AS tp)),"
+            f" lp -> struct("
+            f" cast(lp.hp AS int) - 1 AS h_s,"
+            f" cast(lp.hp AS int) - 1 + size(e.h_toks) AS h_e,"
+            f" cast(lp.tp AS int) - 1 AS t_s,"
+            f" cast(lp.tp AS int) - 1 + size(e.t_toks) AS t_e,"
+            f" map({rel_map})[e.pred] AS r)), 1))"
         ).alias("triples"),
     )
