@@ -372,7 +372,9 @@ def triangle_stats(edges: DataFrame) -> DataFrame:
     wedges = o1.join(o2, "s").where(
         (F.col("db") < F.col("dc"))
         | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
-    )
+    ).select("b", "c")  # project before the closure exchange: s/db/dc are
+    # dead past the head-order filter, and the wedge stream is the 400M+
+    # row side of the next shuffle (guide §2.3 — shuffle fewer bytes)
     closures = oriented.select(F.col("s").alias("b"), F.col("t").alias("c"))
     # The closure probe is |wedges| >> |edges| (413M wedges vs 12M edges
     # at driver sf1.0), and sorting the whole wedge stream is the wall.
